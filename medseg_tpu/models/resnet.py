@@ -1,0 +1,156 @@
+"""ResNet-18/50 classifiers, torchvision-graph-compatible, in flax.linen.
+
+The reference's primary path loads torchvision hub ResNets and swaps the head
+for Dropout(0.5)+Linear(3) (reference utils/helpers.py:148-192); its local
+from-scratch ResNet.py is a buggy fallback that the published metrics never
+used (SURVEY.md §2.2).  We therefore implement the canonical torchvision
+graph — stem conv7x7/s2 + BN + ReLU + maxpool3x3/s2, four stages of
+BasicBlock (18) or Bottleneck (50), global average pool — so the interop
+converter (medseg_tpu/interop/torch_cnn.py) can load torchvision
+`IMAGENET1K_V1` state dicts bit-faithfully.
+
+Layout is NHWC and compute dtype is configurable (bfloat16 on TPU).  The
+classification head exposes the `head` param scope used by the two-stage
+freeze schedule (train/freeze.py).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence, Type
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from medseg_tpu.core.registry import register_model
+from medseg_tpu.nn.blocks import ClassifierHead, global_avg_pool, max_pool
+
+
+class BasicBlock(nn.Module):
+    features: int
+    stride: int = 1
+    downsample: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        bn = lambda name: nn.BatchNorm(  # noqa: E731
+            use_running_average=not train, momentum=0.9, epsilon=1e-5,
+            dtype=self.dtype, name=name)
+        identity = x
+        out = nn.Conv(self.features, (3, 3), strides=(self.stride, self.stride),
+                      padding=((1, 1), (1, 1)), use_bias=False, dtype=self.dtype,
+                      name="conv1")(x)
+        out = nn.relu(bn("bn1")(out))
+        out = nn.Conv(self.features, (3, 3), padding=((1, 1), (1, 1)),
+                      use_bias=False, dtype=self.dtype, name="conv2")(out)
+        out = bn("bn2")(out)
+        if self.downsample:
+            identity = nn.Conv(self.features, (1, 1), strides=(self.stride, self.stride),
+                               use_bias=False, dtype=self.dtype, name="down_conv")(x)
+            identity = bn("down_bn")(identity)
+        return nn.relu(out + identity)
+
+
+class Bottleneck(nn.Module):
+    features: int  # bottleneck width; output channels = 4 * features
+    stride: int = 1
+    downsample: bool = False
+    dtype: jnp.dtype = jnp.float32
+    expansion: int = 4
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        bn = lambda name: nn.BatchNorm(  # noqa: E731
+            use_running_average=not train, momentum=0.9, epsilon=1e-5,
+            dtype=self.dtype, name=name)
+        identity = x
+        out = nn.Conv(self.features, (1, 1), use_bias=False, dtype=self.dtype,
+                      name="conv1")(x)
+        out = nn.relu(bn("bn1")(out))
+        # torchvision places the stride on the 3x3 conv.
+        out = nn.Conv(self.features, (3, 3), strides=(self.stride, self.stride),
+                      padding=((1, 1), (1, 1)), use_bias=False, dtype=self.dtype,
+                      name="conv2")(out)
+        out = nn.relu(bn("bn2")(out))
+        out = nn.Conv(self.features * self.expansion, (1, 1), use_bias=False,
+                      dtype=self.dtype, name="conv3")(out)
+        out = bn("bn3")(out)
+        if self.downsample:
+            identity = nn.Conv(self.features * self.expansion, (1, 1),
+                               strides=(self.stride, self.stride), use_bias=False,
+                               dtype=self.dtype, name="down_conv")(x)
+            identity = bn("down_bn")(identity)
+        return nn.relu(out + identity)
+
+
+class ResNetEncoder(nn.Module):
+    """The convolutional trunk; returns the final feature map (NHWC).
+
+    `taps=True` additionally returns the five intermediate activations used
+    by ResNetUnet (reference models/segmentation_models/ResnetUnet.py:68-74):
+    post-stem (pre-pool), and the outputs of the four stages.
+    """
+
+    block: Type[nn.Module]
+    stage_sizes: Sequence[int]
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False, taps: bool = False):
+        x = nn.Conv(64, (7, 7), strides=(2, 2), padding=((3, 3), (3, 3)),
+                    use_bias=False, dtype=self.dtype, name="conv1")(x)
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         epsilon=1e-5, dtype=self.dtype, name="bn1")(x)
+        e1 = nn.relu(x)
+        x = max_pool(e1, 3, 2, padding=1)
+        feats = [e1]
+        widths = (64, 128, 256, 512)
+        expansion = getattr(self.block, "expansion", 1)
+        in_ch = 64
+        for stage, (n_blocks, width) in enumerate(zip(self.stage_sizes, widths)):
+            for i in range(n_blocks):
+                stride = 2 if (i == 0 and stage > 0) else 1
+                out_ch = width * expansion
+                down = i == 0 and (stride != 1 or in_ch != out_ch)
+                x = self.block(width, stride=stride, downsample=down,
+                               dtype=self.dtype,
+                               name=f"layer{stage + 1}_{i}")(x, train)
+                in_ch = out_ch
+            feats.append(x)
+        if taps:
+            return feats  # [e1(128px,64ch), e2, e3, e4, e5]
+        return x
+
+
+class ResNetClassifier(nn.Module):
+    """ResNet trunk + Dropout/Linear 3-class head (utils/helpers.py:124-134)."""
+
+    block: Type[nn.Module]
+    stage_sizes: Sequence[int]
+    num_classes: int = 3
+    dropout: float = 0.5
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = ResNetEncoder(self.block, self.stage_sizes, dtype=self.dtype,
+                          name="encoder")(x, train)
+        x = global_avg_pool(x).astype(jnp.float32)
+        return ClassifierHead(self.num_classes, self.dropout, name="head")(x, train)
+
+
+@register_model("ResNet18", task="classification")
+def resnet18(num_classes: int = 3, dtype=jnp.float32, **kw) -> ResNetClassifier:
+    return ResNetClassifier(BasicBlock, (2, 2, 2, 2), num_classes=num_classes,
+                            dtype=dtype, **kw)
+
+
+@register_model("ResNet50", task="classification")
+def resnet50(num_classes: int = 3, dtype=jnp.float32, **kw) -> ResNetClassifier:
+    return ResNetClassifier(Bottleneck, (3, 4, 6, 3), num_classes=num_classes,
+                            dtype=dtype, **kw)
+
+
+def resnet50_encoder(dtype=jnp.float32) -> ResNetEncoder:
+    """Bare ResNet-50 trunk for the ResNetUnet encoder."""
+    return ResNetEncoder(Bottleneck, (3, 4, 6, 3), dtype=dtype)

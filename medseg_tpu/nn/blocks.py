@@ -1,0 +1,190 @@
+"""Reusable flax.linen building blocks for the model zoo.
+
+All modules are NHWC (TPU-native layout) with float32 parameters and a
+configurable compute dtype (bfloat16 by default in training — the TPU
+equivalent of the reference's CUDA AMP autocast).  BatchNorm uses
+torch-compatible semantics: momentum 0.1 (flax momentum 0.9), eps 1e-5,
+batch statistics during training.  Under jit over a data-sharded batch, the
+batch statistics reduce over the GLOBAL batch (XLA inserts the collective),
+giving cross-replica sync BN for free — important because per-chip batches
+are small (reference bs 8-16; SURVEY.md §7 "BatchNorm under data
+parallelism").
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Sequence
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+
+def max_pool(x, window: int = 2, stride: int | None = None, padding: int = 0):
+    stride = stride or window
+    pad = ((padding, padding), (padding, padding))
+    return nn.max_pool(x, (window, window), strides=(stride, stride), padding=pad)
+
+
+def upsample_nearest2x(x):
+    """torch nn.Upsample(scale_factor=2) default (nearest) for NHWC."""
+    x = jnp.repeat(x, 2, axis=1)
+    return jnp.repeat(x, 2, axis=2)
+
+
+def global_avg_pool(x):
+    return jnp.mean(x, axis=(1, 2))
+
+
+def adaptive_avg_pool(x, out_h: int, out_w: int):
+    """torch AdaptiveAvgPool2d semantics: bin i = [floor(i*n/o), ceil((i+1)*n/o))."""
+    import numpy as np
+
+    def pool_matrix(n_in, n_out):
+        m = np.zeros((n_out, n_in), dtype=np.float32)
+        for i in range(n_out):
+            s = (i * n_in) // n_out
+            e = -(-((i + 1) * n_in) // n_out)
+            m[i, s:e] = 1.0 / (e - s)
+        return m
+
+    _, h, w, _ = x.shape
+    if (h, w) == (out_h, out_w):
+        return x
+    a_h = jnp.asarray(pool_matrix(h, out_h))
+    a_w = jnp.asarray(pool_matrix(w, out_w))
+    x = jnp.einsum("oh,bhwc->bowc", a_h, x.astype(jnp.float32))
+    x = jnp.einsum("pw,bowc->bopc", a_w, x)
+    return x
+
+
+class ConvBN(nn.Module):
+    """Conv (torch-style explicit padding) + BatchNorm, optional ReLU."""
+
+    features: int
+    kernel: int = 3
+    stride: int = 1
+    padding: int = 1
+    use_bias: bool = True
+    relu: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = nn.Conv(
+            self.features,
+            (self.kernel, self.kernel),
+            strides=(self.stride, self.stride),
+            padding=((self.padding, self.padding), (self.padding, self.padding)),
+            use_bias=self.use_bias,
+            dtype=self.dtype,
+            name="conv",
+        )(x)
+        x = nn.BatchNorm(
+            use_running_average=not train,
+            momentum=0.9,
+            epsilon=1e-5,
+            dtype=self.dtype,
+            name="bn",
+        )(x)
+        if self.relu:
+            x = nn.relu(x)
+        return x
+
+
+class DoubleConv(nn.Module):
+    """Two Conv3x3+BN+ReLU — the U-Nets' `basic_block`
+    (reference models/segmentation_models/AttentionUNet.py:4-13)."""
+
+    features: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = ConvBN(self.features, dtype=self.dtype, name="conv1")(x, train)
+        x = ConvBN(self.features, dtype=self.dtype, name="conv2")(x, train)
+        return x
+
+
+class UpConv(nn.Module):
+    """Nearest 2x upsample + Conv3x3 + BN + ReLU
+    (reference models/segmentation_models/AttentionUNet.py:15-27)."""
+
+    features: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = upsample_nearest2x(x)
+        return ConvBN(self.features, dtype=self.dtype, name="conv")(x, train)
+
+
+class AttentionGate(nn.Module):
+    """Additive spatial attention gate on a skip connection
+    (reference models/segmentation_models/AttentionUNet.py:29-54):
+    psi = sigmoid(BN(1x1(relu(W_g g + W_x x)))); returns x * psi."""
+
+    f_int: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, g, x, train: bool = False):
+        g1 = ConvBN(self.f_int, kernel=1, padding=0, relu=False, dtype=self.dtype, name="w_g")(g, train)
+        x1 = ConvBN(self.f_int, kernel=1, padding=0, relu=False, dtype=self.dtype, name="w_x")(x, train)
+        psi = nn.relu(g1 + x1)
+        psi = ConvBN(1, kernel=1, padding=0, relu=False, dtype=self.dtype, name="psi")(psi, train)
+        psi = nn.sigmoid(psi)
+        return x * psi
+
+
+class RecurrentBlock(nn.Module):
+    """Weight-tied conv recurrence (reference models/segmentation_models/R2U_Net.py:4-20):
+    x1 = f(x); repeat t times: x1 = f(x + x1), with f = Conv3x3+BN+ReLU.
+
+    The conv/BN parameters are shared across iterations (one `f` module called
+    t+1 times); BatchNorm running statistics update sequentially per call,
+    matching the torch semantics of calling the same module in a loop.
+    Statically unrolled — t is a small compile-time constant (5), and
+    unrolling lets XLA fuse across iterations.
+    """
+
+    features: int
+    t: int = 2
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        f = ConvBN(self.features, dtype=self.dtype, name="conv")
+        x1 = f(x, train)
+        for _ in range(self.t):
+            x1 = f(x + x1, train)
+        return x1
+
+
+class RRCNNBlock(nn.Module):
+    """1x1 channel map + two recurrent blocks + outer residual
+    (reference models/segmentation_models/R2U_Net.py:36-48)."""
+
+    features: int
+    t: int = 2
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = nn.Conv(self.features, (1, 1), dtype=self.dtype, name="conv_1x1")(x)
+        x1 = RecurrentBlock(self.features, t=self.t, dtype=self.dtype, name="rcnn1")(x, train)
+        x1 = RecurrentBlock(self.features, t=self.t, dtype=self.dtype, name="rcnn2")(x1, train)
+        return x + x1
+
+
+class ClassifierHead(nn.Module):
+    """Dropout(p) + Linear(num_classes) — the transfer-learning head the
+    reference swaps onto every classifier (utils/helpers.py:124-144)."""
+
+    num_classes: int
+    dropout: float = 0.5
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = nn.Dropout(self.dropout, deterministic=not train, name="dropout")(x)
+        return nn.Dense(self.num_classes, dtype=self.dtype, name="fc")(x)
