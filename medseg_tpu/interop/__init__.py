@@ -1,0 +1,13 @@
+from medseg_tpu.interop.common import ConversionError, StateDict, verify_tree_shapes  # noqa: F401
+from medseg_tpu.interop.torch_cnn import (  # noqa: F401
+    convert_attention_unet,
+    convert_r2u_net,
+    convert_resnet_classifier,
+    convert_resnet_unet,
+    convert_vgg_classifier,
+)
+from medseg_tpu.interop.hf_clip import (  # noqa: F401
+    convert_clip,
+    convert_clip_classifier,
+    convert_clipseg,
+)

@@ -90,6 +90,8 @@ class CLIPSegModel(nn.Module):
     projection_dim: int = 512
     extract_layers: Sequence[int] = (3, 6, 9)
     reduce_dim: int = 64
+    decoder_heads: int = 4
+    decoder_intermediate: int = 2048
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
@@ -105,6 +107,8 @@ class CLIPSegModel(nn.Module):
             reduce_dim=self.reduce_dim,
             extract_depth=len(self.extract_layers),
             patch_size=self.vision_cfg.patch_size,
+            num_heads=self.decoder_heads,
+            intermediate_size=self.decoder_intermediate,
             dtype=self.dtype,
         )
 
