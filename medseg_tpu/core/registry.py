@@ -31,7 +31,14 @@ def register_model(name: str, task: str, **meta):
     return wrap
 
 
+def _ensure_zoo_loaded():
+    """Importing the models package populates the registry."""
+    if not _REGISTRY:
+        import medseg_tpu.models  # noqa: F401
+
+
 def get_model(name: str) -> Dict[str, Any]:
+    _ensure_zoo_loaded()
     key = name.lower()
     if key not in _REGISTRY:
         raise ValueError(
@@ -41,6 +48,7 @@ def get_model(name: str) -> Dict[str, Any]:
 
 
 def list_models(task: str | None = None):
+    _ensure_zoo_loaded()
     entries = sorted(_REGISTRY.values(), key=lambda e: e["name"])
     if task is not None:
         entries = [e for e in entries if e["task"] == task]

@@ -1,0 +1,67 @@
+"""Batch iteration over packed datasets with async device prefetch.
+
+The loader yields device-resident uint8 batches; JAX's async dispatch plus
+one batch of lookahead overlaps H2D transfer with the previous step's
+compute — the double-buffering the reference approximates with
+pin_memory+non_blocking (utils/trainer.py:157, helpers.py:318), without
+worker processes.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Optional, Tuple
+
+import jax
+import numpy as np
+
+from medseg_tpu.data.packed import PackedDataset
+
+
+class BatchLoader:
+    def __init__(self, ds: PackedDataset, batch_size: int, *, shuffle: bool,
+                 seed: int = 0, drop_last: bool = False, sharding=None,
+                 indices: Optional[np.ndarray] = None):
+        self.ds = ds
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.sharding = sharding
+        self.indices = np.arange(len(ds)) if indices is None else np.asarray(indices)
+        self._rng = np.random.default_rng(seed)
+
+    def __len__(self):
+        n = len(self.indices)
+        return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
+
+    @property
+    def num_samples(self):
+        return len(self.indices)
+
+    def _put(self, arr: np.ndarray):
+        if self.sharding is not None:
+            return jax.device_put(arr, self.sharding)
+        return jax.device_put(arr)
+
+    def __iter__(self) -> Iterator[Tuple]:
+        order = self.indices.copy()
+        if self.shuffle:
+            self._rng.shuffle(order)
+        bs = self.batch_size
+        n = len(order)
+        stop = (n // bs) * bs if self.drop_last else n
+        for start in range(0, stop, bs):
+            idx = np.sort(order[start:start + bs])  # sorted gather is faster on memmaps
+            images = self._put(np.ascontiguousarray(self.ds.images[idx]))
+            if self.ds.masks is not None:
+                target = self._put(np.ascontiguousarray(self.ds.masks[idx]))
+            else:
+                target = self._put(np.ascontiguousarray(self.ds.labels[idx]))
+            yield images, target
+
+
+def split_train_val(n: int, val_fraction: float, seed: int = 0):
+    """80/20 index split of the train manifest — the reference's
+    random_split (utils/trainer.py:128-133; unseeded there, seeded here)."""
+    order = np.random.default_rng(seed).permutation(n)
+    n_train = int((1.0 - val_fraction) * n)
+    return order[:n_train], order[n_train:]

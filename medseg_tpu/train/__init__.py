@@ -1,0 +1,21 @@
+from medseg_tpu.train.losses import (  # noqa: F401
+    batch_iou,
+    bce_with_logits,
+    combined_loss,
+    cross_entropy,
+    dice_loss,
+)
+from medseg_tpu.train.schedules import (  # noqa: F401
+    EarlyStopping,
+    ReduceLROnPlateau,
+    cosine_annealing,
+)
+from medseg_tpu.train.freeze import (  # noqa: F401
+    all_trainable,
+    finetune_filter,
+    head_only,
+    mask_from_predicate,
+)
+from medseg_tpu.train import steps  # noqa: F401
+from medseg_tpu.train import checkpoint  # noqa: F401
+from medseg_tpu.train.trainer import TrainResult, train_model  # noqa: F401

@@ -1,0 +1,150 @@
+"""Jit-compiled train/eval steps and the optimizer stack.
+
+One compiled program per (model, stage): the two-stage classification recipe
+(reference utils/helpers.py:258-311) is two jitted phases with different
+optimizer masks, not Python mutation mid-step.  The learning rate lives in
+the optimizer state (optax.inject_hyperparams), so the host-side schedulers
+adjust it per epoch without recompilation.  Gradient clipping (global norm
+1.0, helpers.py:332-333) applies to trainable leaves only, matching torch's
+grad=None skipping.  Train state is donated, so parameters update in place
+on device.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from medseg_tpu.train import losses
+from medseg_tpu.train.freeze import all_trainable
+
+
+class TrainState(struct.PyTreeNode):
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    step: jax.Array
+
+
+def build_optimizer(lr: float, weight_decay: float, clip_norm: float,
+                    trainable_mask) -> optax.GradientTransformation:
+    inner = optax.chain(
+        optax.clip_by_global_norm(clip_norm),
+        optax.inject_hyperparams(optax.adamw)(
+            learning_rate=lr, weight_decay=weight_decay),
+    )
+    # optax.masked passes masked-out leaves through UNTOUCHED (they are not
+    # zeroed), so frozen updates must be explicitly zeroed first — this also
+    # keeps frozen grads out of the global-norm clip, matching torch's
+    # grad=None skipping.
+    frozen_mask = jax.tree.map(lambda t: not t, trainable_mask)
+    return optax.chain(
+        optax.masked(optax.set_to_zero(), frozen_mask),
+        optax.masked(inner, trainable_mask),
+    )
+
+
+def set_learning_rate(opt_state, lr: float):
+    """Write the epoch LR into the injected hyperparams (host -> device)."""
+    return optax.tree_utils.tree_set(opt_state, learning_rate=jnp.asarray(lr))
+
+
+def get_learning_rate(opt_state) -> float:
+    return float(optax.tree_utils.tree_get(opt_state, "learning_rate"))
+
+
+def init_state(model, variables, optimizer) -> TrainState:
+    return TrainState(
+        params=variables["params"],
+        batch_stats=variables.get("batch_stats", {}),
+        opt_state=optimizer.init(variables["params"]),
+        step=jnp.zeros((), jnp.int32),
+    )
+
+
+def make_cls_train_step(model, optimizer, label_smoothing: float = 0.1):
+    """Returns jitted (state, images, labels, rng) -> (state, loss, correct)."""
+
+    def step(state: TrainState, images, labels, rng):
+        def loss_fn(params):
+            out, mutated = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                images, train=True, mutable=["batch_stats"],
+                rngs={"dropout": rng})
+            loss = losses.cross_entropy(out, labels, label_smoothing)
+            return loss, (out, mutated["batch_stats"])
+
+        (loss, (out, new_stats)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        updates, new_opt = optimizer.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        correct = (jnp.argmax(out, axis=-1) == labels).sum()
+        state = state.replace(params=params, batch_stats=new_stats,
+                              opt_state=new_opt, step=state.step + 1)
+        return state, loss, correct
+
+    return jax.jit(step, donate_argnums=(0,))
+
+
+def make_seg_train_step(model, optimizer, loss_name: str = "bce"):
+    """Returns jitted (state, images, masks, rng) -> (state, loss)."""
+    loss_fns = {
+        "bce": losses.bce_with_logits,
+        "combined": losses.combined_loss,
+    }
+    loss_fn_inner = loss_fns[loss_name]
+
+    def step(state: TrainState, images, masks, rng):
+        def loss_fn(params):
+            out, mutated = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                images, train=True, mutable=["batch_stats"],
+                rngs={"dropout": rng})
+            if out.ndim == 3:
+                out = out[..., None]
+            loss = loss_fn_inner(out, masks)
+            return loss, mutated["batch_stats"]
+
+        (loss, new_stats), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        updates, new_opt = optimizer.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        state = state.replace(params=params, batch_stats=new_stats,
+                              opt_state=new_opt, step=state.step + 1)
+        return state, loss
+
+    return jax.jit(step, donate_argnums=(0,))
+
+
+def make_cls_eval_step(model, label_smoothing: float = 0.1):
+    """(variables, images, labels) -> (loss_sum, correct, preds)."""
+
+    def step(params, batch_stats, images, labels):
+        out = model.apply({"params": params, "batch_stats": batch_stats}, images)
+        loss = losses.cross_entropy(out, labels, label_smoothing)
+        preds = jnp.argmax(out, axis=-1)
+        correct = (preds == labels).sum()
+        return loss * images.shape[0], correct, preds
+
+    return jax.jit(step)
+
+
+def make_seg_eval_step(model, loss_name: str = "bce"):
+    """(params, stats, images, masks) -> (loss_sum, batch_iou)."""
+    loss_fns = {"bce": losses.bce_with_logits, "combined": losses.combined_loss}
+    loss_fn_inner = loss_fns[loss_name]
+
+    def step(params, batch_stats, images, masks):
+        out = model.apply({"params": params, "batch_stats": batch_stats}, images)
+        if out.ndim == 3:
+            out = out[..., None]
+        loss = loss_fn_inner(out, masks)
+        iou = losses.batch_iou(jax.nn.sigmoid(out), masks)
+        return loss * images.shape[0], iou
+
+    return jax.jit(step)

@@ -1,0 +1,209 @@
+"""The training engine: two-stage classification and segmentation recipes.
+
+Behavioral twin of reference utils/helpers.py:231-412 `train()`:
+
+- classification: stage 1 (epochs 1-5) trains the head only, AdamW lr 1e-4
+  wd 5e-4, cosine annealing over 5 epochs; stage 2 (epoch 6+) unfreezes all
+  with a fresh AdamW at the caller lr (1e-6) and ReduceLROnPlateau(max, 0.1,
+  patience 3) on val accuracy; loss = CE(label_smoothing=0.1)
+- segmentation: single stage, AdamW at caller lr wd 5e-4, cosine annealing
+  over all epochs, BCEWithLogits; ResNetUnet's encoder stays frozen
+- both: global-norm-1.0 gradient clip, best-checkpoint save (val accuracy for
+  cls, val loss for seg), early stop patience 10, and the reference's
+  per-epoch print format
+
+TPU realization: each stage is one jitted step function over a data-sharded
+batch on the device mesh (stage transition = second compile, SURVEY.md §7);
+the LR is injected into optimizer state per epoch, so host-side schedulers
+never trigger recompilation; batch stats sync globally under jit.  The
+compute dtype policy (bf16) replaces CUDA AMP; no loss scaling is needed.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from medseg_tpu.core.config import AugmentConfig, TrainConfig
+from medseg_tpu.core.precision import policy_from_name
+from medseg_tpu.core.registry import get_model
+from medseg_tpu.data.loader import BatchLoader
+from medseg_tpu.ops.augment import augment_batch, preprocess_eval_batch
+from medseg_tpu.train import checkpoint as ckpt
+from medseg_tpu.train import steps as S
+from medseg_tpu.train.freeze import (all_trainable, finetune_filter, head_only,
+                                     mask_from_predicate)
+from medseg_tpu.train.schedules import EarlyStopping, ReduceLROnPlateau, cosine_annealing
+
+
+@dataclass
+class TrainResult:
+    name: str
+    best_score: float
+    epochs_run: int
+    state: S.TrainState
+
+
+def _make_aug_fns(seg: bool, aug_cfg: AugmentConfig, compute_dtype):
+    """Device-side train/eval preprocessing wrappers (uint8 -> model input)."""
+
+    @jax.jit
+    def train_prep(rng, images, targets):
+        if seg:
+            x, m = augment_batch(rng, images, targets, cfg=aug_cfg,
+                                 out_dtype=compute_dtype)
+            return x, m
+        x, _ = augment_batch(rng, images, cfg=aug_cfg, out_dtype=compute_dtype)
+        return x, targets
+
+    @jax.jit
+    def eval_prep(images, targets):
+        if seg:
+            x, m = preprocess_eval_batch(images, targets, cfg=aug_cfg,
+                                         out_dtype=compute_dtype)
+            return x, m
+        x, _ = preprocess_eval_batch(images, cfg=aug_cfg, out_dtype=compute_dtype)
+        return x, targets
+
+    return train_prep, eval_prep
+
+
+def train_model(
+    name: str,
+    train_loader: BatchLoader,
+    val_loader: BatchLoader,
+    cfg: TrainConfig = TrainConfig(),
+    aug_cfg: AugmentConfig = AugmentConfig(),
+    *,
+    seed: int = 0,
+    save: bool = True,
+    log: Callable[[str], None] = print,
+) -> TrainResult:
+    """Train one registry model end-to-end; returns best score (acc% or loss)."""
+    entry = get_model(name)
+    seg = entry["task"] == "segmentation"
+    policy = policy_from_name(cfg.compute_dtype)
+    model = entry["factory"](dtype=policy.compute_dtype)
+
+    rng = jax.random.key(seed)
+    rng, init_rng = jax.random.split(rng)
+    sample_images, sample_targets = next(iter(train_loader))
+    train_prep, eval_prep = _make_aug_fns(seg, aug_cfg, policy.compute_dtype)
+    x0, _ = eval_prep(sample_images, sample_targets)
+    variables = model.init({"params": init_rng, "dropout": init_rng}, x0)
+
+    save_dir = str(cfg.seg_save_dir if seg else cfg.cls_save_dir)
+
+    # --- optimizer / stage setup ------------------------------------------
+    if seg:
+        mask = mask_from_predicate(variables["params"], finetune_filter(name))
+        optimizer = S.build_optimizer(cfg.lr, cfg.weight_decay,
+                                      cfg.grad_clip_norm, mask)
+        train_step = S.make_seg_train_step(model, optimizer)
+        eval_step = S.make_seg_eval_step(model)
+        log(f"Training Segmentation model (all layers unfrozen) with LR: {cfg.lr}")
+    else:
+        mask1 = mask_from_predicate(variables["params"], head_only(name))
+        optimizer = S.build_optimizer(cfg.stage1_lr, cfg.weight_decay,
+                                      cfg.grad_clip_norm, mask1)
+        train_step = S.make_cls_train_step(model, optimizer, cfg.label_smoothing)
+        eval_step = S.make_cls_eval_step(model, cfg.label_smoothing)
+        log(f"--- STAGE 1: Feature Extraction (Epochs 1-{cfg.stage1_epochs}) ---")
+
+    state = S.init_state(model, variables, optimizer)
+
+    stopper = EarlyStopping(cfg.early_stop_patience, mode="min" if seg else "max")
+    plateau: Optional[ReduceLROnPlateau] = None
+    best_score = float("inf") if seg else 0.0
+    n_train = train_loader.num_samples
+    n_val = val_loader.num_samples
+    start = time.time()
+    epochs_run = 0
+
+    for epoch in range(1, cfg.epochs + 1):
+        epochs_run = epoch
+        # --- stage 2 transition (cls only, helpers.py:295-311) ------------
+        if not seg and epoch == cfg.stage1_epochs + 1:
+            log(f"\n--- STAGE 2: Full Fine-Tuning (Epochs {epoch}-{cfg.epochs}) ---")
+            mask2 = all_trainable(state.params)
+            optimizer = S.build_optimizer(cfg.lr, cfg.weight_decay,
+                                          cfg.grad_clip_norm, mask2)
+            train_step = S.make_cls_train_step(model, optimizer, cfg.label_smoothing)
+            state = state.replace(opt_state=optimizer.init(state.params))
+            plateau = ReduceLROnPlateau(cfg.lr, "max", cfg.plateau_factor,
+                                        cfg.plateau_patience)
+            log(f"Full fine-tuning (all layers unfrozen) with very low LR: "
+                f"{cfg.lr}. Using ReduceLROnPlateau scheduler.")
+
+        # --- per-epoch LR (host schedule -> device state) ------------------
+        if seg:
+            lr = cosine_annealing(cfg.lr, epoch - 1, cfg.epochs)
+        elif epoch <= cfg.stage1_epochs:
+            lr = cosine_annealing(cfg.stage1_lr, epoch - 1, cfg.stage1_epochs)
+        else:
+            lr = plateau.lr
+        state = state.replace(opt_state=S.set_learning_rate(state.opt_state, lr))
+
+        # --- train epoch ---------------------------------------------------
+        running_loss = 0.0
+        correct = 0
+        for images, targets in train_loader:
+            rng, aug_rng, drop_rng = jax.random.split(rng, 3)
+            x, t = train_prep(aug_rng, images, targets)
+            if seg:
+                state, loss = train_step(state, x, t, drop_rng)
+            else:
+                state, loss, corr = train_step(state, x, t, drop_rng)
+                correct += int(corr)
+            running_loss += float(loss) * x.shape[0]
+
+        # --- validation ----------------------------------------------------
+        val_loss = 0.0
+        val_metric = 0.0
+        n_batches = 0
+        for images, targets in val_loader:
+            x, t = eval_prep(images, targets)
+            if seg:
+                loss_sum, iou = eval_step(state.params, state.batch_stats, x, t)
+                val_metric += float(iou)
+            else:
+                loss_sum, corr, _ = eval_step(state.params, state.batch_stats, x, t)
+                val_metric += int(corr)
+            val_loss += float(loss_sum)
+            n_batches += 1
+        val_loss /= max(1, n_val)
+
+        # --- scoring, logging (helpers.py:364-392) -------------------------
+        if seg:
+            val_iou = val_metric / max(1, n_batches)
+            score = val_loss
+            log(f"[{name}] Ep{epoch}: TrainLoss {running_loss / n_train:.3f} | "
+                f"ValLoss {val_loss:.3f} | IoU {val_iou:.3f}")
+        else:
+            train_acc = 100.0 * correct / n_train
+            val_acc = 100.0 * val_metric / max(1, n_val)
+            score = val_acc
+            log(f"[{name}] Ep{epoch}: TrainLoss {running_loss / n_train:.3f} "
+                f"(Acc {train_acc:.2f}%) | ValLoss {val_loss:.3f} | "
+                f"ValAcc {val_acc:.2f}%")
+            if plateau is not None:
+                plateau.step(score)
+
+        improved = stopper.update(score)
+        if improved:
+            best_score = score
+            if save:
+                ckpt.save_best(save_dir, name, seg, state.params,
+                               state.batch_stats,
+                               meta={"epoch": epoch, "score": float(score)})
+        if stopper.should_stop:
+            log(f"Early stopping at epoch {epoch}. Best score: {best_score:.2f}")
+            break
+
+    log(f"Training for {name} finished in {(time.time() - start) / 60:.2f} minutes.")
+    return TrainResult(name, best_score, epochs_run, state)
