@@ -1,0 +1,189 @@
+"""Command-line interface for the framework.
+
+One typed entry point replacing the reference's seven run-as-script modules
+(utils/install_dataset.py, split_dataset.py, trainer.py, tester.py,
+clip_finetuner.py, clip_seg_finetuner.py, demo/app.py):
+
+  medseg install-data            # download Kaggle dataset (needs kagglehub)
+  medseg split                   # seed-42 stratified 80/10/10 CSVs
+  medseg pack                    # decode+resize into packed uint8 caches
+  medseg train [MODELS...]       # train zoo models (default: the 8 CNNs)
+  medseg eval                    # test all models -> summary + results CSVs
+  medseg finetune-clip           # CLIP vision-tower finetune
+  medseg finetune-clipseg        # CLIPSeg decoder finetune
+  medseg demo                    # gradio web demo
+  medseg bench                   # end-to-end throughput benchmark
+
+Defaults reproduce the reference's hardcoded hyperparameters exactly.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+import numpy as np
+
+from medseg_tpu.core.config import DataConfig, EvalConfig, TrainConfig
+
+DEFAULT_TRAIN_MODELS = ["ResNet50", "ResNet18", "VGG16", "VGG19",
+                        "ResNetUnet", "AttentionUNet", "R2Unet", "R2AttUnet"]
+
+
+def _cmd_install_data(args):
+    from medseg_tpu.data.install import install_dataset
+
+    install_dataset(args.root)
+
+
+def _cmd_split(args):
+    from medseg_tpu.data.splits import generate_splits
+
+    generate_splits(DataConfig(root=args.root,
+                               splits_dir=f"{args.root}/splits"))
+
+
+def _cmd_pack(args):
+    from medseg_tpu.data.packed import pack_split, save_packed
+
+    cfg = DataConfig(root=args.root, splits_dir=f"{args.root}/splits")
+    for split in ("train", "val", "test"):
+        for task in ("cls", "seg"):
+            ds = pack_split(cfg, split, task)
+            save_packed(ds, args.cache_dir, f"{split}_{task}")
+            print(f"packed {split}/{task}: {len(ds)} samples")
+
+
+def _loaders(cache_dir: str, task: str, batch_size: int, val_fraction: float,
+             seed: int = 0):
+    from medseg_tpu.data.loader import BatchLoader, split_train_val
+    from medseg_tpu.data.packed import load_packed
+
+    ds = load_packed(cache_dir, f"train_{task}")
+    tr_idx, va_idx = split_train_val(len(ds), val_fraction, seed)
+    train = BatchLoader(ds, batch_size, shuffle=True, seed=seed, indices=tr_idx)
+    val = BatchLoader(ds, batch_size, shuffle=False, indices=va_idx)
+    return train, val
+
+
+def _cmd_train(args):
+    from medseg_tpu.core.registry import get_model
+    from medseg_tpu.train.trainer import train_model
+
+    cfg = TrainConfig(epochs=args.epochs, lr=args.lr,
+                      save_root=args.weights_root)
+    results = {}
+    for name in args.models:
+        task = get_model(name)["task"]
+        seg = task == "segmentation"
+        bs = cfg.seg_batch_size if seg else cfg.cls_batch_size
+        print(f"\n--- Training {task} model: {name} ---")
+        train, val = _loaders(args.cache_dir, "seg" if seg else "cls", bs,
+                              cfg.val_fraction)
+        res = train_model(name, train, val, cfg)
+        results[name] = res.best_score
+
+    print("\n\n=============== Training Summary ===============")
+    for k, v in sorted(results.items()):
+        if "ResNet" in k or "VGG" in k:
+            print(f"{k:<15}: {v:.2f}% Acc (Classification)")
+        elif "Unet" in k:
+            print(f"{k:<15}: {v:.4f} Loss (Segmentation)")
+    print("================================================")
+
+
+def _cmd_eval(args):
+    from medseg_tpu.data.loader import BatchLoader
+    from medseg_tpu.data.packed import load_packed
+    from medseg_tpu.eval import print_summary, save_results_to_csv, test_all_models
+
+    cfg = EvalConfig(batch_size=args.batch_size, weights_root=args.weights_root,
+                     results_dir=args.results_dir)
+    cls_loader = seg_loader = None
+    try:
+        cls_loader = BatchLoader(load_packed(args.cache_dir, "test_cls"),
+                                 cfg.batch_size, shuffle=False)
+    except FileNotFoundError:
+        print("[WARNING] Classification test cache not found; skipping.")
+    try:
+        seg_loader = BatchLoader(load_packed(args.cache_dir, "test_seg"),
+                                 cfg.batch_size // 2, shuffle=False)
+    except FileNotFoundError:
+        print("[WARNING] Segmentation test cache not found; skipping.")
+    results = test_all_models(cls_loader, seg_loader, cfg)
+    print_summary(results)
+    save_results_to_csv(
+        results,
+        f"{cfg.results_dir}/classification_test_results.csv",
+        f"{cfg.results_dir}/segmentation_test_results.csv")
+
+
+def _cmd_finetune_clip(args):
+    from medseg_tpu.core.config import CLIPFinetuneConfig
+    from medseg_tpu.interop.hf_pretrained import load_clip_classifier_pretrained
+    from medseg_tpu.train.clip_finetune import finetune_clip
+
+    cfg = CLIPFinetuneConfig(save_root=args.weights_root)
+    variables, text_features = load_clip_classifier_pretrained()
+    train, val = _loaders(args.cache_dir, "cls", cfg.batch_size, 0.1111)
+    finetune_clip(train, val, variables, text_features, cfg)
+
+
+def _cmd_finetune_clipseg(args):
+    from medseg_tpu.core.config import CLIPSegFinetuneConfig
+    from medseg_tpu.interop.hf_pretrained import load_clipseg_pretrained
+    from medseg_tpu.train.clipseg_finetune import finetune_clipseg
+
+    cfg = CLIPSegFinetuneConfig(save_root=args.weights_root)
+    variables, cond = load_clipseg_pretrained()
+    train, val = _loaders(args.cache_dir, "seg", cfg.batch_size, 0.1111)
+    finetune_clipseg(train, val, variables, cond, cfg)
+
+
+def _cmd_demo(args):
+    from medseg_tpu.apps.demo import launch_demo
+
+    launch_demo(share=args.share)
+
+
+def _cmd_bench(args):
+    import runpy
+
+    sys.argv = ["bench.py"]
+    runpy.run_path("bench.py", run_name="__main__")
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="medseg")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    def add(name, fn, **defaults):
+        sp = sub.add_parser(name)
+        sp.set_defaults(fn=fn)
+        sp.add_argument("--root", default="dataset")
+        sp.add_argument("--cache-dir", default="dataset/packed")
+        sp.add_argument("--weights-root", default="weights")
+        sp.add_argument("--results-dir", default="results")
+        return sp
+
+    add("install-data", _cmd_install_data)
+    add("split", _cmd_split)
+    add("pack", _cmd_pack)
+    sp = add("train", _cmd_train)
+    sp.add_argument("models", nargs="*", default=DEFAULT_TRAIN_MODELS)
+    sp.add_argument("--epochs", type=int, default=20)
+    sp.add_argument("--lr", type=float, default=1e-6)
+    sp = add("eval", _cmd_eval)
+    sp.add_argument("--batch-size", type=int, default=16)
+    add("finetune-clip", _cmd_finetune_clip)
+    add("finetune-clipseg", _cmd_finetune_clipseg)
+    sp = add("demo", _cmd_demo)
+    sp.add_argument("--share", action="store_true")
+    add("bench", _cmd_bench)
+
+    args = p.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,244 @@
+"""Evaluation harness: test every model on the held-out split, emit CSVs.
+
+Behavioral twin of reference utils/tester.py:197-735 with a TPU execution
+substrate: eval batches are sharded across the device mesh, the forward pass
+and per-sample metric reductions compile into one program, and only (B,)
+metric vectors return to host — preserving the reference's
+per-sample-then-mean semantics (tester.py:281-299) exactly while removing its
+batch-size-1 CLIP/CLIPSeg Python loops (tester.py:341,430).
+
+Weights load from either this framework's orbax checkpoints or the
+reference's torch .pt state_dicts (via medseg_tpu.interop), so a user of the
+reference can evaluate their existing weights directly.  Missing weights are
+skipped with a warning (tester.py:585-588).
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from medseg_tpu.core.config import CLASSES, EvalConfig
+from medseg_tpu.core.registry import get_model
+from medseg_tpu.data.loader import BatchLoader
+from medseg_tpu.eval import metrics as M
+from medseg_tpu.ops.augment import preprocess_eval_batch
+from medseg_tpu.train import checkpoint as ckpt
+
+CLS_MODELS = ("ResNet18", "ResNet50", "VGG16", "VGG19", "CLIP")
+SEG_MODELS = ("ResNetUnet", "AttentionUNet", "R2Unet", "R2AttUnet", "CLIPSeg")
+
+
+def load_model_variables(name: str, weights_root: str, seg: bool):
+    """Try orbax best-checkpoint first, then a reference torch .pt state_dict."""
+    sub = "segmentation_models" if seg else "classification_models"
+    save_dir = str(Path(weights_root) / sub)
+    if ckpt.best_exists(save_dir, name, seg):
+        return ckpt.load_best(save_dir, name, seg)
+    suffix = "best_loss" if seg else "best_acc"
+    pt_path = Path(save_dir) / f"{name}_{suffix}.pt"
+    if pt_path.exists():
+        return load_torch_weights(name, pt_path)
+    return None
+
+
+def load_torch_weights(name: str, pt_path) -> Dict:
+    """Convert a reference torch checkpoint (utils/helpers.py:394-400 naming)."""
+    import torch
+
+    from medseg_tpu import interop
+
+    sd = torch.load(str(pt_path), map_location="cpu", weights_only=True)
+    lname = name.lower()
+    if lname == "resnet18":
+        return interop.convert_resnet_classifier(sd, 18)
+    if lname == "resnet50":
+        return interop.convert_resnet_classifier(sd, 50)
+    if lname == "vgg16":
+        return interop.convert_vgg_classifier(sd, 16)
+    if lname == "vgg19":
+        return interop.convert_vgg_classifier(sd, 19)
+    if lname == "clip":
+        return interop.convert_clip_classifier(sd)
+    if lname == "resnetunet":
+        return interop.convert_resnet_unet(sd)
+    if lname == "attentionunet":
+        return interop.convert_attention_unet(sd)
+    if lname == "r2unet":
+        return interop.convert_r2u_net(sd, attention=False)
+    if lname == "r2attunet":
+        return interop.convert_r2u_net(sd, attention=True)
+    if lname == "clipseg":
+        return interop.convert_clipseg(sd)
+    raise ValueError(name)
+
+
+def _eval_classification(model, variables, loader: BatchLoader,
+                         extra_inputs: Optional[dict] = None,
+                         clip_size: Optional[int] = None):
+    from medseg_tpu.ops.clip_prep import clip_preprocess
+
+    @jax.jit
+    def step(images, **extra):
+        if clip_size is not None:
+            # CLIP path: bicubic resize + CLIP normalize (tester.py:341-371)
+            x = clip_preprocess(images, clip_size)
+        else:
+            x, _ = preprocess_eval_batch(images)
+        logits = model.apply(variables, x, **extra)
+        return jnp.argmax(logits, axis=-1)
+
+    preds, labels = [], []
+    for images, targets in loader:
+        p = step(images, **(extra_inputs or {}))
+        preds.append(np.asarray(p))
+        labels.append(np.asarray(targets))
+    preds = np.concatenate(preds)
+    labels = np.concatenate(labels)
+    return M.classification_metrics(preds, labels, num_classes=len(CLASSES))
+
+
+def _eval_segmentation(model, variables, loader: BatchLoader,
+                       threshold: float = 0.5,
+                       extra_inputs: Optional[dict] = None,
+                       clip_size: Optional[int] = None):
+    from medseg_tpu.ops.clip_prep import clip_preprocess
+
+    @jax.jit
+    def step(images, masks, **extra):
+        _, m = preprocess_eval_batch(images, masks)
+        if clip_size is not None:
+            # CLIPSeg path (tester.py:430-487): CLIP preprocess at 352,
+            # sigmoid at the 352 grid, bilinear resize down to the mask grid.
+            x = clip_preprocess(images, clip_size)
+            logits = model.apply(variables, x, **extra)
+            probs = jax.nn.sigmoid(logits.astype(jnp.float32))[..., None]
+            b = probs.shape[0]
+            probs = jax.image.resize(
+                probs, (b, m.shape[1], m.shape[2], 1), method="bilinear")
+        else:
+            x, _ = preprocess_eval_batch(images)
+            logits = model.apply(variables, x, **extra)
+            if logits.ndim == 3:
+                logits = logits[..., None]
+            probs = jax.nn.sigmoid(logits.astype(jnp.float32))
+        return M.segmentation_metrics_batched(probs, m, threshold)
+
+    acc: Dict[str, list] = {}
+    for images, masks in loader:
+        out = step(images, masks, **(extra_inputs or {}))
+        for k, v in out.items():
+            acc.setdefault(k, []).append(np.asarray(v))
+    per_sample = {k: np.concatenate(v) for k, v in acc.items()}
+    return M.average_segmentation_metrics(per_sample)
+
+
+def evaluate_model(name: str, loader: BatchLoader, variables=None,
+                   cfg: EvalConfig = EvalConfig(),
+                   extra_inputs: Optional[dict] = None,
+                   log: Callable[[str], None] = print) -> Optional[Dict]:
+    """Evaluate one model; loads weights if `variables` is None."""
+    entry = get_model(name)
+    seg = entry["task"] == "segmentation"
+    if variables is None:
+        variables = load_model_variables(name, cfg.weights_root, seg)
+        if variables is None:
+            log(f"\n[WARNING] Weights not found for {name}")
+            log(f"Skipping {name}...")
+            return None
+    model = entry["factory"]()
+    log(f"\n{'=' * 60}")
+    log(f"Testing {'Segmentation' if seg else 'Classification'} Model: {name}")
+    log(f"{'=' * 60}")
+    from medseg_tpu.core.config import CLIP_IMG_SIZE, CLIPSEG_IMG_SIZE
+
+    clip_size = None
+    if name.lower() == "clip":
+        clip_size = CLIP_IMG_SIZE
+    elif name.lower() == "clipseg":
+        clip_size = CLIPSEG_IMG_SIZE
+    if seg:
+        res = _eval_segmentation(model, variables, loader, cfg.threshold,
+                                 extra_inputs, clip_size)
+    else:
+        res = _eval_classification(model, variables, loader, extra_inputs,
+                                   clip_size)
+    return res
+
+
+def test_all_models(cls_loader: Optional[BatchLoader],
+                    seg_loader: Optional[BatchLoader],
+                    cfg: EvalConfig = EvalConfig(),
+                    extra_inputs: Optional[Dict[str, dict]] = None,
+                    log: Callable[[str], None] = print) -> Dict[str, Dict]:
+    """Evaluate the whole zoo (tester.py:513-735): skip-on-missing-weights,
+    summary printout; returns {model: metrics}."""
+    results: Dict[str, Dict] = {}
+    extra_inputs = extra_inputs or {}
+    if cls_loader is not None:
+        log(f"\n[INFO] Classification Test Dataset: {cls_loader.num_samples} samples")
+        for name in CLS_MODELS:
+            try:
+                res = evaluate_model(name, cls_loader, None, cfg,
+                                     extra_inputs.get(name), log)
+                if res is not None:
+                    results[name] = res
+            except Exception as e:  # graceful skip (tester.py:630-635)
+                log(f"\n[ERROR] Failed to test {name}: {e}")
+    if seg_loader is not None:
+        log(f"\n[INFO] Segmentation Test Dataset: {seg_loader.num_samples} samples")
+        for name in SEG_MODELS:
+            try:
+                res = evaluate_model(name, seg_loader, None, cfg,
+                                     extra_inputs.get(name), log)
+                if res is not None:
+                    results[name] = res
+            except Exception as e:
+                log(f"\n[ERROR] Failed to test {name}: {e}")
+    return results
+
+
+def print_summary(results: Dict[str, Dict], log: Callable[[str], None] = print):
+    """Reference summary tables with best-model callouts (tester.py:738-805)."""
+    if not results:
+        log("\n[INFO] No test results to display.")
+        return
+    log("\n" + "=" * 80)
+    log(" " * 25 + "TEST RESULTS SUMMARY")
+    log("=" * 80)
+
+    cls_models = [m for m in CLS_MODELS if m in results]
+    if cls_models:
+        log("\nCLASSIFICATION MODELS:")
+        log("-" * 80)
+        log(f"{'Model':<20} {'Accuracy':<12} {'Precision':<12} {'Recall':<12} "
+            f"{'F1 Score':<12}")
+        log("-" * 80)
+        for m in cls_models:
+            r = results[m]
+            log(f"{m:<20} {r['accuracy']:>10.2f}% {r['precision']:>10.2f}% "
+                f"{r['recall']:>10.2f}% {r['f1']:>10.2f}%")
+        best = max(cls_models, key=lambda m: results[m]["accuracy"])
+        log(f"\nBest Classification Model: {best} "
+            f"(Accuracy: {results[best]['accuracy']:.2f}%)")
+
+    seg_models = [m for m in SEG_MODELS if m in results]
+    if seg_models:
+        log("\n\nSEGMENTATION MODELS:")
+        log("-" * 80)
+        log(f"{'Model':<20} {'IoU':<10} {'Dice':<10} {'Precision':<12} "
+            f"{'Recall':<12} {'F1 Score':<12}")
+        log("-" * 80)
+        for m in seg_models:
+            r = results[m]
+            log(f"{m:<20} {r['iou']:>8.2f}% {r['dice']:>8.2f}% "
+                f"{r['precision']:>10.2f}% {r['recall']:>10.2f}% "
+                f"{r['f1']:>10.2f}%")
+        best = max(seg_models, key=lambda m: results[m]["dice"])
+        log(f"\nBest Segmentation Model: {best} "
+            f"(Dice: {results[best]['dice']:.2f}%)")
+    log("=" * 80 + "\n")

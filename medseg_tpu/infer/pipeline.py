@@ -1,0 +1,197 @@
+"""The cascaded classify-then-segment inference pipeline (serving API).
+
+Behavioral twin of reference utils/pipeline.py:178-418 `Pipeline`:
+
+- `_load_models(cls_name, seg_name)`: lazy, cached by model name; missing
+  weights degrade gracefully (classification falls back to fresh-init params
+  with a warning, mirroring the reference's pretrained-only fallback at
+  pipeline.py:251-254; a failed segmentation load yields a placeholder that
+  skips segmentation, pipeline.py:102-108)
+- `process_image(rgb_array, seg_name, overlay_opacity)`: classify ->
+  softmax confidence -> if the prediction is not "COVID", return advisory
+  text and STOP (the cascade gate, pipeline.py:395-396); else segment,
+  threshold at 0.5, nearest-resize the mask to the original size and render
+  the red overlay (pipeline.py:398-411)
+
+TPU serving substrate: each loaded model family gets one jitted
+preprocess+forward program at a fixed input grid; repeat calls hit the
+compile cache.  Input preprocessing per family matches the reference
+(VGG: 224 torchvision-style resize+normalize, pipeline.py:161-172; CLIP/
+CLIPSeg: their processors; others: 256 resize+normalize).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from medseg_tpu.core.config import (
+    CLASSES,
+    CLIP_IMG_SIZE,
+    CLIPSEG_IMG_SIZE,
+    IMG_SIZE,
+    EvalConfig,
+)
+from medseg_tpu.core.registry import get_model
+from medseg_tpu.eval.harness import load_model_variables
+from medseg_tpu.infer.overlay import red_overlay
+from medseg_tpu.ops.augment import preprocess_eval_batch
+from medseg_tpu.ops.clip_prep import clip_preprocess
+from medseg_tpu.ops.image import resize_bilinear
+
+
+class Pipeline:
+    def __init__(self, cfg: EvalConfig = EvalConfig(),
+                 text_features: Optional[np.ndarray] = None,
+                 clipseg_cond: Optional[np.ndarray] = None):
+        """text_features: [3, 512] normalized CLIP prompt features;
+        clipseg_cond: [1, 512] CLIPSeg conditional embedding (precomputed —
+        the reference encodes its fixed prompts once too, CLIP.py:36-45)."""
+        self.cfg = cfg
+        self.text_features = text_features
+        self.clipseg_cond = clipseg_cond
+        self._cls: Optional[Tuple[str, Dict, object]] = None  # (name, vars, fn)
+        self._seg: Optional[Tuple[str, Dict, object]] = None
+
+    # ------------------------------------------------------------------
+    def _build_cls_fn(self, name: str, variables):
+        model = get_model(name)["factory"]()
+        lname = name.lower()
+
+        if lname == "clip":
+            tf = jnp.asarray(self.text_features)
+
+            @jax.jit
+            def fn(images_u8):
+                x = clip_preprocess(images_u8, CLIP_IMG_SIZE)
+                return model.apply(variables, x, tf)
+        elif lname.startswith("vgg"):
+            # VGG serving path uses 224 torchvision-style resize+normalize
+            # (pipeline.py:161-172).
+            @jax.jit
+            def fn(images_u8):
+                x = resize_bilinear(images_u8, 224, 224)
+                x, _ = preprocess_eval_batch(jnp.clip(x, 0, 255))
+                return model.apply(variables, x)
+        else:
+            @jax.jit
+            def fn(images_u8):
+                x, _ = preprocess_eval_batch(images_u8)
+                return model.apply(variables, x)
+
+        return fn
+
+    def _build_seg_fn(self, name: str, variables):
+        model = get_model(name)["factory"]()
+        if name.lower() == "clipseg":
+            cond = jnp.asarray(self.clipseg_cond)
+
+            @jax.jit
+            def fn(images_u8):
+                x = clip_preprocess(images_u8, CLIPSEG_IMG_SIZE)
+                logits = model.apply(variables, x, cond=cond)
+                return jax.nn.sigmoid(logits.astype(jnp.float32))[..., None]
+        else:
+            @jax.jit
+            def fn(images_u8):
+                x, _ = preprocess_eval_batch(images_u8)
+                logits = model.apply(variables, x)
+                if logits.ndim == 3:
+                    logits = logits[..., None]
+                return jax.nn.sigmoid(logits.astype(jnp.float32))
+
+        return fn
+
+    # ------------------------------------------------------------------
+    def _load_models(self, classification_name: str, segmentation_name: str):
+        if self._cls is None or self._cls[0].lower() != classification_name.lower():
+            name = classification_name
+            variables = load_model_variables(name, self.cfg.weights_root, seg=False)
+            if variables is None:
+                print("Weights file not found. Using fresh-initialized weights only.")
+                model = get_model(name)["factory"]()
+                dummy = self._dummy_input(name)
+                variables = model.init(jax.random.key(0), *dummy)
+            self._cls = (name, variables, self._build_cls_fn(name, variables))
+            print(f"Successfully loaded Classification Model: {name}")
+
+        if self._seg is None or self._seg[0].lower() != segmentation_name.lower():
+            name = segmentation_name
+            try:
+                variables = load_model_variables(name, self.cfg.weights_root, seg=True)
+                if variables is None:
+                    raise FileNotFoundError(name)
+                self._seg = (name, variables, self._build_seg_fn(name, variables))
+                print(f"Successfully loaded Segmentation Model: {name}")
+            except Exception as e:
+                print(f"CRITICAL ERROR: Failed to load segmentation weights for "
+                      f"{name}. Error: {e}")
+                self._seg = (name, None, None)  # placeholder: skip segmentation
+
+    def _dummy_input(self, name: str):
+        lname = name.lower()
+        if lname == "clip":
+            tf = self.text_features if self.text_features is not None else np.zeros((3, 512), np.float32)
+            return (jnp.zeros((1, CLIP_IMG_SIZE, CLIP_IMG_SIZE, 3), jnp.float32),
+                    jnp.asarray(tf))
+        size = 224 if lname.startswith("vgg") else IMG_SIZE
+        return (jnp.zeros((1, size, size, 3), jnp.float32),)
+
+    # ------------------------------------------------------------------
+    def _predict_classification(self, images_u8) -> Tuple[str, float]:
+        if self._cls is None:
+            return "FATAL ERROR: Classification Model Not Loaded", 0.0
+        logits = np.asarray(self._cls[2](images_u8))[0]
+        probs = np.exp(logits - logits.max())
+        probs /= probs.sum()
+        idx = int(np.argmax(probs))
+        return CLASSES[idx], float(probs[idx]) * 100.0
+
+    def _predict_segmentation(self, images_u8) -> Optional[np.ndarray]:
+        if self._seg is None or self._seg[2] is None:
+            return None
+        probs = np.asarray(self._seg[2](images_u8))[0, :, :, 0]
+        return (probs > self.cfg.threshold).astype(np.uint8) * 255
+
+    def process_image(self, image, segmentation_model_name: str,
+                      overlay_opacity: float = 0.5):
+        """image: RGB uint8 array or PIL Image.
+        Returns (prediction, confidence, overlay_or_None, analysis_text)."""
+        if image is None:
+            return ("No Image Uploaded", 0.0, None,
+                    "Please upload an image to begin analysis.")
+        if not isinstance(image, np.ndarray):
+            image = np.asarray(image.convert("RGB"))
+        original = image
+
+        cls_name = self._cls[0] if self._cls else "ResNet50"
+        self._load_models(cls_name, segmentation_model_name)
+
+        # 256x256 device-side resize feeds every family's jitted preprocessor.
+        batch = jnp.asarray(image[None])
+        batch256 = jnp.clip(resize_bilinear(batch, IMG_SIZE, IMG_SIZE), 0, 255
+                            ).astype(jnp.uint8)
+
+        prediction, confidence = self._predict_classification(batch256)
+        analysis = f"Diagnosis: {prediction}\nConfidence: {confidence:.2f}%\n"
+        output_img = None
+
+        if "ERROR" in prediction:
+            analysis = prediction
+        elif prediction != "COVID":  # cascade gate (pipeline.py:395-396)
+            analysis += ("\nRecommendation: Consult a medical professional for "
+                         "final diagnosis. The model suggests no severe "
+                         "COVID-19 pathology.")
+        else:
+            mask = self._predict_segmentation(batch256)
+            if mask is not None:
+                output_img = red_overlay(original, mask, overlay_opacity)
+                analysis += ("\nInfection areas have been highlighted in red "
+                             "(segmentation model).")
+            else:
+                analysis += ("\nWARNING: Segmentation model failed to load. "
+                             "Cannot highlight infection areas.")
+        return prediction, confidence, output_img, analysis

@@ -19,3 +19,5 @@ from medseg_tpu.train.freeze import (  # noqa: F401
 from medseg_tpu.train import steps  # noqa: F401
 from medseg_tpu.train import checkpoint  # noqa: F401
 from medseg_tpu.train.trainer import TrainResult, train_model  # noqa: F401
+from medseg_tpu.train.clip_finetune import finetune_clip  # noqa: F401
+from medseg_tpu.train.clipseg_finetune import finetune_clipseg  # noqa: F401

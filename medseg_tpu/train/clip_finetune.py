@@ -1,0 +1,115 @@
+"""CLIP vision-tower finetuning (behavioral twin of utils/clip_finetuner.py).
+
+Recipe (clip_finetuner.py:85-192): text features for the three medical
+prompts are encoded once and frozen; only the vision tower trains (text
+tower, projections, logit_scale frozen); AdamW lr 5e-6 wd 5e-4, cosine
+annealing over epochs, plain CE (no label smoothing), grad clip 1.0,
+batch 32, full fp32 (the reference uses no AMP here), best-val-accuracy
+checkpoint saved as "CLIP", early stop patience 10.
+
+Inputs are packed uint8 images; the CLIP processor's resize+normalize runs
+on device (ops/clip_prep.py), replacing the per-sample HF processor calls.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from medseg_tpu.core.config import CLIP_IMG_SIZE, CLIPFinetuneConfig
+from medseg_tpu.core.registry import get_model
+from medseg_tpu.data.loader import BatchLoader
+from medseg_tpu.ops.clip_prep import clip_preprocess
+from medseg_tpu.train import checkpoint as ckpt
+from medseg_tpu.train import steps as S
+from medseg_tpu.train.freeze import finetune_filter, mask_from_predicate
+from medseg_tpu.train.losses import cross_entropy
+from medseg_tpu.train.schedules import EarlyStopping, cosine_annealing
+
+
+def finetune_clip(
+    train_loader: BatchLoader,
+    val_loader: BatchLoader,
+    variables,
+    text_features: np.ndarray,
+    cfg: CLIPFinetuneConfig = CLIPFinetuneConfig(),
+    *,
+    seed: int = 0,
+    save: bool = True,
+    log: Callable[[str], None] = print,
+) -> float:
+    """variables: CLIPClassifier variables (e.g. converted HF weights);
+    text_features: [num_classes, dim] L2-normalized prompt embeddings."""
+    model = get_model("CLIP")["factory"]()
+    tf = jnp.asarray(text_features, jnp.float32)
+
+    mask = mask_from_predicate(variables["params"], finetune_filter("CLIP"))
+    optimizer = S.build_optimizer(cfg.lr, cfg.weight_decay, cfg.grad_clip_norm, mask)
+    opt_state = optimizer.init(variables["params"])
+    params = variables["params"]
+
+    @jax.jit
+    def train_step(params, opt_state, images_u8, labels):
+        def loss_fn(p):
+            x = clip_preprocess(images_u8, CLIP_IMG_SIZE)
+            logits = model.apply({"params": p}, x, tf)
+            return cross_entropy(logits, labels), logits
+
+        (loss, logits), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        updates, opt_state2 = optimizer.update(grads, opt_state, params)
+        params2 = optax.apply_updates(params, updates)
+        correct = (jnp.argmax(logits, -1) == labels).sum()
+        return params2, opt_state2, loss, correct
+
+    @jax.jit
+    def eval_step(params, images_u8, labels):
+        x = clip_preprocess(images_u8, CLIP_IMG_SIZE)
+        logits = model.apply({"params": params}, x, tf)
+        loss = cross_entropy(logits, labels)
+        correct = (jnp.argmax(logits, -1) == labels).sum()
+        return loss * images_u8.shape[0], correct
+
+    stopper = EarlyStopping(cfg.early_stop_patience, mode="max")
+    best = 0.0
+    start = time.time()
+    for epoch in range(1, cfg.epochs + 1):
+        lr = cosine_annealing(cfg.lr, epoch - 1, cfg.epochs)
+        opt_state = S.set_learning_rate(opt_state, lr)
+
+        run_loss = correct = total = 0
+        for images, labels in train_loader:
+            params, opt_state, loss, corr = train_step(params, opt_state,
+                                                       images, labels)
+            run_loss += float(loss) * images.shape[0]
+            correct += int(corr)
+            total += images.shape[0]
+
+        val_loss = val_correct = val_total = 0
+        for images, labels in val_loader:
+            loss_sum, corr = eval_step(params, images, labels)
+            val_loss += float(loss_sum)
+            val_correct += int(corr)
+            val_total += images.shape[0]
+        val_acc = 100.0 * val_correct / max(1, val_total)
+        log(f"[CLIP] Ep{epoch}: TrainLoss {run_loss / max(1, total):.3f} "
+            f"(Acc {100.0 * correct / max(1, total):.2f}%) | "
+            f"ValLoss {val_loss / max(1, val_total):.3f} | ValAcc {val_acc:.2f}%")
+
+        if stopper.update(val_acc):
+            best = val_acc
+            if save:
+                save_dir = str(cfg.save_root) + "/classification_models"
+                ckpt.save_best(save_dir, "CLIP", False, params, {},
+                               meta={"epoch": epoch, "score": val_acc})
+                log(f"Saved best model (Acc: {val_acc:.2f}%)")
+        if stopper.should_stop:
+            log(f"Early stopping at epoch {epoch}. Best accuracy: {best:.2f}%")
+            break
+    log(f"\nTraining finished in {(time.time() - start) / 60:.2f} minutes.")
+    log(f"Best Validation Accuracy: {best:.2f}%")
+    return best

@@ -1,0 +1,124 @@
+"""CLIPSeg decoder-only finetuning (behavioral twin of utils/clip_seg_finetuner.py).
+
+Recipe (clip_seg_finetuner.py:121-258): only decoder params train (the CLIP
+backbone is additionally under stop_gradient in the model, as in HF); AdamW
+lr 1e-5 wd 0.01, cosine annealing, CombinedLoss = 0.5*BCE + 0.5*Dice on the
+352x352 logit grid, batch 8, best-val-DICE checkpoint saved as "CLIPSeg",
+early stop patience 10.  Ground-truth masks are bilinear-resized to 352
+(reference utils/dataset.py:237-244); the conditional text embedding for the
+fixed "lungs" prompt is precomputed once.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from medseg_tpu.core.config import CLIPSEG_IMG_SIZE, CLIPSegFinetuneConfig
+from medseg_tpu.core.registry import get_model
+from medseg_tpu.data.loader import BatchLoader
+from medseg_tpu.ops.clip_prep import clip_preprocess
+from medseg_tpu.train import checkpoint as ckpt
+from medseg_tpu.train import steps as S
+from medseg_tpu.train.freeze import finetune_filter, mask_from_predicate
+from medseg_tpu.train.losses import combined_loss
+from medseg_tpu.train.schedules import EarlyStopping, cosine_annealing
+
+
+def _batch_dice(probs, targets, threshold=0.5):
+    p = (probs > threshold).astype(jnp.float32)
+    t = (targets > threshold).astype(jnp.float32)
+    inter = (p * t).sum()
+    return (2.0 * inter + 1e-7) / (p.sum() + t.sum() + 1e-7)
+
+
+def finetune_clipseg(
+    train_loader: BatchLoader,
+    val_loader: BatchLoader,
+    variables,
+    cond: np.ndarray,
+    cfg: CLIPSegFinetuneConfig = CLIPSegFinetuneConfig(),
+    *,
+    save: bool = True,
+    log: Callable[[str], None] = print,
+) -> float:
+    """variables: CLIPSegModel variables; cond: [1, 512] conditional text
+    embedding for the fixed prompt."""
+    model = get_model("CLIPSeg")["factory"]()
+    cond = jnp.asarray(cond, jnp.float32)
+
+    mask = mask_from_predicate(variables["params"], finetune_filter("CLIPSeg"))
+    # grad clip 1.0 (clip_seg_finetuner.py:172)
+    optimizer = S.build_optimizer(cfg.lr, cfg.weight_decay, 1.0, mask)
+    opt_state = optimizer.init(variables["params"])
+    params = variables["params"]
+
+    def prep(images_u8, masks_u8):
+        x = clip_preprocess(images_u8, CLIPSEG_IMG_SIZE)
+        m = masks_u8.astype(jnp.float32)[..., None] / 255.0
+        b = m.shape[0]
+        m = jax.image.resize(m, (b, CLIPSEG_IMG_SIZE, CLIPSEG_IMG_SIZE, 1),
+                             method="bilinear")
+        return x, m[..., 0]
+
+    @jax.jit
+    def train_step(params, opt_state, images_u8, masks_u8):
+        def loss_fn(p):
+            x, m = prep(images_u8, masks_u8)
+            c = jnp.broadcast_to(cond, (x.shape[0], cond.shape[-1]))
+            logits = model.apply({"params": p}, x, cond=c)
+            return combined_loss(logits, m, cfg.bce_weight, cfg.dice_weight)
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state2 = optimizer.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state2, loss
+
+    @jax.jit
+    def eval_step(params, images_u8, masks_u8):
+        x, m = prep(images_u8, masks_u8)
+        c = jnp.broadcast_to(cond, (x.shape[0], cond.shape[-1]))
+        logits = model.apply({"params": params}, x, cond=c)
+        loss = combined_loss(logits, m, cfg.bce_weight, cfg.dice_weight)
+        dice = _batch_dice(jax.nn.sigmoid(logits), m)
+        return loss * x.shape[0], dice
+
+    stopper = EarlyStopping(cfg.early_stop_patience, mode="max")
+    best = 0.0
+    start = time.time()
+    for epoch in range(1, cfg.epochs + 1):
+        opt_state = S.set_learning_rate(
+            opt_state, cosine_annealing(cfg.lr, epoch - 1, cfg.epochs))
+        run_loss = total = 0
+        for images, masks in train_loader:
+            params, opt_state, loss = train_step(params, opt_state, images, masks)
+            run_loss += float(loss) * images.shape[0]
+            total += images.shape[0]
+
+        val_loss = 0.0
+        dices = []
+        for images, masks in val_loader:
+            loss_sum, dice = eval_step(params, images, masks)
+            val_loss += float(loss_sum)
+            dices.append(float(dice))
+        val_dice = float(np.mean(dices)) if dices else 0.0
+        log(f"[CLIPSeg] Ep{epoch}: TrainLoss {run_loss / max(1, total):.3f} | "
+            f"ValLoss {val_loss / max(1, val_loader.num_samples):.3f} | "
+            f"ValDice {val_dice:.3f}")
+
+        if stopper.update(val_dice):
+            best = val_dice
+            if save:
+                save_dir = str(cfg.save_root) + "/segmentation_models"
+                ckpt.save_best(save_dir, "CLIPSeg", True, params, {},
+                               meta={"epoch": epoch, "dice": val_dice})
+                log(f"Saved best model (Dice: {val_dice:.4f})")
+        if stopper.should_stop:
+            log(f"Early stopping at epoch {epoch}. Best dice: {best:.4f}")
+            break
+    log(f"\nTraining finished in {(time.time() - start) / 60:.2f} minutes.")
+    return best
