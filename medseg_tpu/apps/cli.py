@@ -112,10 +112,20 @@ def _cmd_eval(args):
         print("[WARNING] Segmentation test cache not found; skipping.")
     results = test_all_models(cls_loader, seg_loader, cfg)
     print_summary(results)
-    save_results_to_csv(
-        results,
-        f"{cfg.results_dir}/classification_test_results.csv",
-        f"{cfg.results_dir}/segmentation_test_results.csv")
+    cls_csv = f"{cfg.results_dir}/classification_test_results.csv"
+    seg_csv = f"{cfg.results_dir}/segmentation_test_results.csv"
+    save_results_to_csv(results, cls_csv, seg_csv)
+    if args.compare:
+        from pathlib import Path
+
+        from medseg_tpu.eval.parity import compare_results_csv, format_parity_report
+
+        for ours, ref_name in ((cls_csv, "classification_test_results.csv"),
+                               (seg_csv, "segmentation_test_results.csv")):
+            ref = Path(args.compare) / ref_name
+            if Path(ours).exists() and ref.exists():
+                print(f"\n=== Parity vs {ref} ===")
+                format_parity_report(compare_results_csv(ours, str(ref)))
 
 
 def _cmd_finetune_clip(args):
@@ -175,6 +185,8 @@ def main(argv=None):
     sp.add_argument("--lr", type=float, default=1e-6)
     sp = add("eval", _cmd_eval)
     sp.add_argument("--batch-size", type=int, default=16)
+    sp.add_argument("--compare", default=None,
+                    help="directory of reference results CSVs for parity replay")
     add("finetune-clip", _cmd_finetune_clip)
     add("finetune-clipseg", _cmd_finetune_clipseg)
     sp = add("demo", _cmd_demo)
