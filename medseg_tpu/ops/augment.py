@@ -89,18 +89,28 @@ def augment_batch(
     *,
     cfg: AugmentConfig = AugmentConfig(),
     out_dtype=jnp.float32,
+    fast_warp: bool = True,
 ) -> Tuple[jax.Array, Optional[jax.Array]]:
     """Full train-time augmentation for a uint8 NHWC batch.
 
     images: uint8 [B,H,W,3] already sized to the model grid (256x256).
     masks:  uint8 [B,H,W] binary 0/255 masks, or None for classification.
     Returns (normalized float images [B,H,W,3], masks float [B,H,W,1] in [0,1]).
+
+    fast_warp selects the gather-free two-pass warp (ops/warp_fast.py) —
+    ~100x faster on TPU than the exact gather warp, distribution-equivalent
+    (sub-pixel smoothing only); set False for the bit-exact single-pass warp.
     """
+    from medseg_tpu.ops.warp_fast import warp_affine_fast
+
     b, h, w, _ = images.shape
     params = sample_augment_params(rng, b, cfg)
     mats = _combined_matrices(params, h, w)
 
-    x = I.warp_affine(images, mats, bilinear=True)  # float32 [B,H,W,3]
+    if fast_warp:
+        x = warp_affine_fast(images, mats)  # float32 [B,H,W,3]
+    else:
+        x = I.warp_affine(images, mats, bilinear=True)
     # RandomBrightnessContrast on 0..255 values (brightness_by_max=True).
     x = x * params.alpha[:, None, None, None] + params.beta[:, None, None, None] * 255.0
     x = jnp.clip(x, 0.0, 255.0)
@@ -108,7 +118,10 @@ def augment_batch(
 
     m = None
     if masks is not None:
-        m = I.warp_affine(masks[..., None], mats, bilinear=False)
+        if fast_warp:
+            m = warp_affine_fast(masks[..., None], mats, nearest=True)
+        else:
+            m = I.warp_affine(masks[..., None], mats, bilinear=False)
         m = m.astype(jnp.float32) / 255.0
         m = m.astype(out_dtype)
     return x, m
