@@ -30,7 +30,7 @@ MARGIN = 64  # roll margin inside the kernel intermediates
 
 def _hat(src, n_in: int, nearest: bool):
     """[n_out, n_in] interpolation weights for source coords src [n_out, 1]."""
-    i = jax.lax.broadcasted_iota(jnp.float32, (src.shape[0], n_in), 1)
+    i = jax.lax.broadcasted_iota(jnp.int32, (src.shape[0], n_in), 1).astype(jnp.float32)
     if nearest:
         return (jnp.floor(src + 0.5) == i).astype(jnp.float32)
     return jnp.maximum(0.0, 1.0 - jnp.abs(src - i))
@@ -81,15 +81,15 @@ def _warp_kernel(scal_ref, img_ref, out_ref, *, hp: int, wp: int, h: int,
     mid_col = (wp - 1) * 0.5
 
     # Pass A (horizontal): src_x = aa*u + bb*row + cc
-    u = jax.lax.broadcasted_iota(jnp.float32, (wide, 1), 0) + col0
+    u = jax.lax.broadcasted_iota(jnp.int32, (wide, 1), 0).astype(jnp.float32) + col0
     a1 = _hat(aa * u + (cc + bb * mid_row), wp, nearest)      # [wide, Wp]
-    rows = jax.lax.broadcasted_iota(jnp.float32, (hp, 1), 0)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (hp, 1), 0).astype(jnp.float32)
     delta_a = bb * (rows - mid_row) / aa                       # [Hp, 1]
 
     # Pass B (vertical): src_y = m11*v + m10*col + m12p
-    v = jax.lax.broadcasted_iota(jnp.float32, (wide, 1), 0) + col0
+    v = jax.lax.broadcasted_iota(jnp.int32, (wide, 1), 0).astype(jnp.float32) + col0
     a2 = _hat(m11 * v + (m12p + m10 * mid_col), hp, nearest)   # [wide, Hp]
-    cols = jax.lax.broadcasted_iota(jnp.float32, (1, w), 1) + PAD
+    cols = jax.lax.broadcasted_iota(jnp.int32, (1, w), 1).astype(jnp.float32) + PAD
     delta_b = m10 * (cols - mid_col) / m11                     # [1, w]
 
     for ch in range(c):

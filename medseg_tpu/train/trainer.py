@@ -82,13 +82,28 @@ def train_model(
     *,
     seed: int = 0,
     save: bool = True,
+    mesh=None,
+    resume: bool = False,
     log: Callable[[str], None] = print,
 ) -> TrainResult:
-    """Train one registry model end-to-end; returns best score (acc% or loss)."""
+    """Train one registry model end-to-end; returns best score (acc% or loss).
+
+    mesh: optional `jax.sharding.Mesh` — batches shard over its 'data' axis,
+    parameters replicate, and XLA inserts the gradient all-reduce (the SPMD
+    generalization of the reference's single-GPU loop, SURVEY.md §2.4).
+    resume: restart from the `{name}_resume` orbax checkpoint if present
+    (capability absent in the reference, SURVEY.md §5).
+    """
     entry = get_model(name)
     seg = entry["task"] == "segmentation"
     policy = policy_from_name(cfg.compute_dtype)
     model = entry["factory"](dtype=policy.compute_dtype)
+
+    if mesh is not None:
+        from medseg_tpu.parallel import batch_sharding, replicated
+
+        train_loader.sharding = batch_sharding(mesh)
+        val_loader.sharding = batch_sharding(mesh)
 
     rng = jax.random.key(seed)
     rng, init_rng = jax.random.split(rng)
@@ -99,6 +114,19 @@ def train_model(
 
     save_dir = str(cfg.seg_save_dir if seg else cfg.cls_save_dir)
 
+    # --- resume metadata (decides which stage's optimizer to build) -------
+    start_epoch = 1
+    restored_tree = None
+    resume_extras = {}
+    if resume:
+        restored = ckpt.load_resume(save_dir, name)
+        if restored is not None:
+            restored_tree, meta = restored
+            start_epoch = int(meta["epoch"]) + 1
+            resume_extras = meta
+
+    in_stage2 = (not seg) and start_epoch > cfg.stage1_epochs
+
     # --- optimizer / stage setup ------------------------------------------
     if seg:
         mask = mask_from_predicate(variables["params"], finetune_filter(name))
@@ -108,27 +136,50 @@ def train_model(
         eval_step = S.make_seg_eval_step(model)
         log(f"Training Segmentation model (all layers unfrozen) with LR: {cfg.lr}")
     else:
-        mask1 = mask_from_predicate(variables["params"], head_only(name))
-        optimizer = S.build_optimizer(cfg.stage1_lr, cfg.weight_decay,
+        if in_stage2:
+            mask1 = all_trainable(variables["params"])
+            lr0 = cfg.lr
+        else:
+            mask1 = mask_from_predicate(variables["params"], head_only(name))
+            lr0 = cfg.stage1_lr
+            log(f"--- STAGE 1: Feature Extraction (Epochs 1-{cfg.stage1_epochs}) ---")
+        optimizer = S.build_optimizer(lr0, cfg.weight_decay,
                                       cfg.grad_clip_norm, mask1)
         train_step = S.make_cls_train_step(model, optimizer, cfg.label_smoothing)
         eval_step = S.make_cls_eval_step(model, cfg.label_smoothing)
-        log(f"--- STAGE 1: Feature Extraction (Epochs 1-{cfg.stage1_epochs}) ---")
 
     state = S.init_state(model, variables, optimizer)
 
     stopper = EarlyStopping(cfg.early_stop_patience, mode="min" if seg else "max")
     plateau: Optional[ReduceLROnPlateau] = None
     best_score = float("inf") if seg else 0.0
+    if in_stage2:
+        plateau = ReduceLROnPlateau(
+            float(resume_extras.get("plateau_lr", cfg.lr)), "max",
+            cfg.plateau_factor, cfg.plateau_patience)
+    if restored_tree is not None:
+        state = state.replace(
+            params=jax.tree.map(jnp.asarray, restored_tree["params"]),
+            batch_stats=jax.tree.map(jnp.asarray, restored_tree["batch_stats"]),
+            opt_state=jax.tree_util.tree_unflatten(
+                jax.tree_util.tree_structure(state.opt_state),
+                jax.tree_util.tree_leaves(restored_tree["opt_state"])),
+            step=jnp.asarray(restored_tree["step"]))
+        best_score = float(resume_extras["best_score"])
+        stopper.best = best_score
+        log(f"Resumed {name} from epoch {start_epoch - 1} (best {best_score:.4f})")
+    if mesh is not None:
+        state = jax.device_put(state, replicated(mesh))
+
     n_train = train_loader.num_samples
     n_val = val_loader.num_samples
     start = time.time()
     epochs_run = 0
 
-    for epoch in range(1, cfg.epochs + 1):
+    for epoch in range(start_epoch, cfg.epochs + 1):
         epochs_run = epoch
         # --- stage 2 transition (cls only, helpers.py:295-311) ------------
-        if not seg and epoch == cfg.stage1_epochs + 1:
+        if not seg and epoch == cfg.stage1_epochs + 1 and not in_stage2:
             log(f"\n--- STAGE 2: Full Fine-Tuning (Epochs {epoch}-{cfg.epochs}) ---")
             mask2 = all_trainable(state.params)
             optimizer = S.build_optimizer(cfg.lr, cfg.weight_decay,
@@ -201,6 +252,12 @@ def train_model(
                 ckpt.save_best(save_dir, name, seg, state.params,
                                state.batch_stats,
                                meta={"epoch": epoch, "score": float(score)})
+        if save:
+            extras = {}
+            if plateau is not None:
+                extras["plateau_lr"] = plateau.lr
+            ckpt.save_resume(save_dir, name, state, epoch, float(best_score),
+                             extra=extras)
         if stopper.should_stop:
             log(f"Early stopping at epoch {epoch}. Best score: {best_score:.2f}")
             break
