@@ -97,9 +97,11 @@ def augment_batch(
     masks:  uint8 [B,H,W] binary 0/255 masks, or None for classification.
     Returns (normalized float images [B,H,W,3], masks float [B,H,W,1] in [0,1]).
 
-    fast_warp selects the gather-free two-pass warp (ops/warp_fast.py) —
-    ~100x faster on TPU than the exact gather warp, distribution-equivalent
-    (sub-pixel smoothing only); set False for the bit-exact single-pass warp.
+    fast_warp selects the gather-free two-pass warp — on TPU the
+    VMEM-resident Pallas kernel (20k img/s at 256px/B=256 vs 221 img/s for
+    the gather warp), elsewhere the XLA formulation; both are
+    distribution-equivalent to the exact warp (sub-pixel smoothing only).
+    Set False for the bit-exact single-pass gather warp.
     """
     from medseg_tpu.ops.warp_fast import warp_affine_fast
 
@@ -107,8 +109,13 @@ def augment_batch(
     params = sample_augment_params(rng, b, cfg)
     mats = _combined_matrices(params, h, w)
 
-    if fast_warp:
-        x = warp_affine_fast(images, mats)  # float32 [B,H,W,3]
+    use_pallas = jax.devices()[0].platform == "tpu"
+    if fast_warp and use_pallas:
+        from medseg_tpu.ops.pallas.warp_kernel import warp_affine_pallas
+
+        x = warp_affine_pallas(images, mats)  # float32 [B,H,W,3]
+    elif fast_warp:
+        x = warp_affine_fast(images, mats)
     else:
         x = I.warp_affine(images, mats, bilinear=True)
     # RandomBrightnessContrast on 0..255 values (brightness_by_max=True).
@@ -118,7 +125,11 @@ def augment_batch(
 
     m = None
     if masks is not None:
-        if fast_warp:
+        if fast_warp and use_pallas:
+            from medseg_tpu.ops.pallas.warp_kernel import warp_affine_pallas
+
+            m = warp_affine_pallas(masks[..., None], mats, nearest=True)
+        elif fast_warp:
             m = warp_affine_fast(masks[..., None], mats, nearest=True)
         else:
             m = I.warp_affine(masks[..., None], mats, bilinear=False)
