@@ -41,11 +41,15 @@ def finetune_clip(
     *,
     seed: int = 0,
     save: bool = True,
+    model=None,
+    image_size: int = CLIP_IMG_SIZE,
     log: Callable[[str], None] = print,
 ) -> float:
     """variables: CLIPClassifier variables (e.g. converted HF weights);
-    text_features: [num_classes, dim] L2-normalized prompt embeddings."""
-    model = get_model("CLIP")["factory"]()
+    text_features: [num_classes, dim] L2-normalized prompt embeddings.
+    model/image_size are injectable for tests with tiny towers."""
+    if model is None:
+        model = get_model("CLIP")["factory"]()
     tf = jnp.asarray(text_features, jnp.float32)
 
     mask = mask_from_predicate(variables["params"], finetune_filter("CLIP"))
@@ -56,7 +60,7 @@ def finetune_clip(
     @jax.jit
     def train_step(params, opt_state, images_u8, labels):
         def loss_fn(p):
-            x = clip_preprocess(images_u8, CLIP_IMG_SIZE)
+            x = clip_preprocess(images_u8, image_size)
             logits = model.apply({"params": p}, x, tf)
             return cross_entropy(logits, labels), logits
 
@@ -68,7 +72,7 @@ def finetune_clip(
 
     @jax.jit
     def eval_step(params, images_u8, labels):
-        x = clip_preprocess(images_u8, CLIP_IMG_SIZE)
+        x = clip_preprocess(images_u8, image_size)
         logits = model.apply({"params": params}, x, tf)
         loss = cross_entropy(logits, labels)
         correct = (jnp.argmax(logits, -1) == labels).sum()

@@ -45,11 +45,15 @@ def finetune_clipseg(
     cfg: CLIPSegFinetuneConfig = CLIPSegFinetuneConfig(),
     *,
     save: bool = True,
+    model=None,
+    image_size: int = CLIPSEG_IMG_SIZE,
     log: Callable[[str], None] = print,
 ) -> float:
-    """variables: CLIPSegModel variables; cond: [1, 512] conditional text
-    embedding for the fixed prompt."""
-    model = get_model("CLIPSeg")["factory"]()
+    """variables: CLIPSegModel variables; cond: [1, dim] conditional text
+    embedding for the fixed prompt.  model/image_size are injectable for
+    tests with tiny towers."""
+    if model is None:
+        model = get_model("CLIPSeg")["factory"]()
     cond = jnp.asarray(cond, jnp.float32)
 
     mask = mask_from_predicate(variables["params"], finetune_filter("CLIPSeg"))
@@ -59,10 +63,14 @@ def finetune_clipseg(
     params = variables["params"]
 
     def prep(images_u8, masks_u8):
-        x = clip_preprocess(images_u8, CLIPSEG_IMG_SIZE)
+        x = clip_preprocess(images_u8, image_size)
         m = masks_u8.astype(jnp.float32)[..., None] / 255.0
         b = m.shape[0]
-        m = jax.image.resize(m, (b, CLIPSEG_IMG_SIZE, CLIPSEG_IMG_SIZE, 1),
+        out_hw = model.apply({"params": variables["params"]},
+                             jnp.zeros((1, image_size, image_size, 3),
+                                       jnp.float32),
+                             cond=jnp.zeros((1, cond.shape[-1]))).shape[1:]
+        m = jax.image.resize(m, (b, out_hw[0], out_hw[1], 1),
                              method="bilinear")
         return x, m[..., 0]
 
