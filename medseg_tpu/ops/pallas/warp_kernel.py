@@ -74,7 +74,8 @@ def _shift_lines(x, delta, axis: int, nearest: bool):
     if nearest:
         return out
     nxt = pltpu.roll(out, (-1) % n, axis=roll_axis)
-    return out * (1.0 - frac) + nxt * frac
+    frac = frac.astype(x.dtype)
+    return out * (1 - frac) + nxt * frac
 
 
 def _warp_kernel(scal_ref, img_ref, out_ref, *, hp: int, wp: int, h: int,
@@ -110,16 +111,23 @@ def _warp_kernel(scal_ref, img_ref, out_ref, *, hp: int, wp: int, h: int,
     cols = _iota_f32((1, w), 1) + PAD
     delta_b = m10 * (cols - mid_col) / m11                     # [1, w]
 
+    # Shift stages must run in f32: Mosaic's tpu.dynamic_rotate only
+    # implements 32-bit element types on this generation (bf16 rolls would
+    # halve the bandwidth-bound VMEM traffic — revisit when supported).
+    roll_dtype = jnp.float32
+
     stacked = img_ref[0]                                       # [C*Hp, Wp] f32
     tmp = jax.lax.dot_general(
         stacked, a1, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32)                    # [C*Hp, wide]
-    tmp = _shift_lines(tmp, delta_a, axis=1, nearest=nearest)
+    tmp = _shift_lines(tmp.astype(roll_dtype), delta_a, axis=1,
+                       nearest=nearest)
     tmp = tmp[:, MARGIN:MARGIN + w]                            # [C*Hp, w]
     for ch in range(c):
         outp = jnp.dot(a2, tmp[ch * hp:(ch + 1) * hp],
                        preferred_element_type=jnp.float32)     # [wide, w]
-        outp = _shift_lines(outp, delta_b, axis=0, nearest=nearest)
+        outp = _shift_lines(outp.astype(roll_dtype), delta_b, axis=0,
+                            nearest=nearest)
         out_ref[0, ch * h:(ch + 1) * h, :] = (
             outp[MARGIN:MARGIN + h].astype(out_dtype))
 
