@@ -22,24 +22,25 @@ class R2UNet(nn.Module):
     out_channels: int = 1
     t: int = 5
     attention: bool = False
+    use_scan: bool = False  # lax.scan recurrence: constant compile size in t
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         dt = self.dtype
         t = self.t
-        x1 = RRCNNBlock(64, t=t, dtype=dt, name="rrcnn1")(x, train)
-        x2 = RRCNNBlock(128, t=t, dtype=dt, name="rrcnn2")(max_pool(x1), train)
-        x3 = RRCNNBlock(256, t=t, dtype=dt, name="rrcnn3")(max_pool(x2), train)
-        x4 = RRCNNBlock(512, t=t, dtype=dt, name="rrcnn4")(max_pool(x3), train)
-        x5 = RRCNNBlock(1024, t=t, dtype=dt, name="rrcnn5")(max_pool(x4), train)
+        x1 = RRCNNBlock(64, t=t, use_scan=self.use_scan, dtype=dt, name="rrcnn1")(x, train)
+        x2 = RRCNNBlock(128, t=t, use_scan=self.use_scan, dtype=dt, name="rrcnn2")(max_pool(x1), train)
+        x3 = RRCNNBlock(256, t=t, use_scan=self.use_scan, dtype=dt, name="rrcnn3")(max_pool(x2), train)
+        x4 = RRCNNBlock(512, t=t, use_scan=self.use_scan, dtype=dt, name="rrcnn4")(max_pool(x3), train)
+        x5 = RRCNNBlock(1024, t=t, use_scan=self.use_scan, dtype=dt, name="rrcnn5")(max_pool(x4), train)
 
         def up_stage(deep, skip, width, f_int, idx):
             d = UpConv(width, dtype=dt, name=f"up{idx}")(deep, train)
             if self.attention:
                 skip = AttentionGate(f_int, dtype=dt, name=f"att{idx}")(d, skip, train)
             d = jnp.concatenate([skip, d], axis=-1)
-            return RRCNNBlock(width, t=t, dtype=dt, name=f"up_rrcnn{idx}")(d, train)
+            return RRCNNBlock(width, t=t, use_scan=self.use_scan, dtype=dt, name=f"up_rrcnn{idx}")(d, train)
 
         d5 = up_stage(x5, x4, 512, 256, 5)
         d4 = up_stage(d5, x3, 256, 128, 4)

@@ -143,20 +143,41 @@ class RecurrentBlock(nn.Module):
     The conv/BN parameters are shared across iterations (one `f` module called
     t+1 times); BatchNorm running statistics update sequentially per call,
     matching the torch semantics of calling the same module in a loop.
-    Statically unrolled — t is a small compile-time constant (5), and
-    unrolling lets XLA fuse across iterations.
+
+    `use_scan=True` wraps the t weight-tied applications in nn.scan
+    (compile-size constant in t, SURVEY.md §7 'Recurrent blocks'); the
+    default static unroll lets XLA fuse across iterations.  Both paths share
+    parameters and numerics (tested equal).
     """
 
     features: int
     t: int = 2
+    use_scan: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         f = ConvBN(self.features, dtype=self.dtype, name="conv")
         x1 = f(x, train)
-        for _ in range(self.t):
-            x1 = f(x + x1, train)
+        if not self.use_scan or self.t == 0:
+            for _ in range(self.t):
+                x1 = f(x + x1, train)
+            return x1
+
+        def body(module, carry, _):
+            return module(x + carry, train), None
+
+        if train:
+            # batch_stats mutate sequentially per iteration (torch semantics)
+            scan = nn.scan(body, variable_broadcast="params",
+                           variable_carry="batch_stats",
+                           split_rngs={"params": False}, length=self.t)
+        else:
+            scan = nn.scan(body,
+                           variable_broadcast=["params", "batch_stats"],
+                           split_rngs={"params": False, "batch_stats": False},
+                           length=self.t)
+        x1, _ = scan(f, x1, None)
         return x1
 
 
@@ -166,13 +187,16 @@ class RRCNNBlock(nn.Module):
 
     features: int
     t: int = 2
+    use_scan: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         x = nn.Conv(self.features, (1, 1), dtype=self.dtype, name="conv_1x1")(x)
-        x1 = RecurrentBlock(self.features, t=self.t, dtype=self.dtype, name="rcnn1")(x, train)
-        x1 = RecurrentBlock(self.features, t=self.t, dtype=self.dtype, name="rcnn2")(x1, train)
+        x1 = RecurrentBlock(self.features, t=self.t, use_scan=self.use_scan,
+                            dtype=self.dtype, name="rcnn1")(x, train)
+        x1 = RecurrentBlock(self.features, t=self.t, use_scan=self.use_scan,
+                            dtype=self.dtype, name="rcnn2")(x1, train)
         return x + x1
 
 
