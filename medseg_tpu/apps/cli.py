@@ -156,6 +156,14 @@ def _cmd_demo(args):
     launch_demo(share=args.share)
 
 
+def _cmd_serve(args):
+    from medseg_tpu.core.config import EvalConfig
+    from medseg_tpu.infer.server import InferenceServer
+
+    server = InferenceServer(EvalConfig(weights_root=args.weights_root))
+    server.serve(host=args.host, port=args.port)
+
+
 def _cmd_bench(args):
     import runpy
 
@@ -191,6 +199,9 @@ def main(argv=None):
     add("finetune-clipseg", _cmd_finetune_clipseg)
     sp = add("demo", _cmd_demo)
     sp.add_argument("--share", action="store_true")
+    sp = add("serve", _cmd_serve)
+    sp.add_argument("--host", default="127.0.0.1")
+    sp.add_argument("--port", type=int, default=8000)
     add("bench", _cmd_bench)
 
     args = p.parse_args(argv)
