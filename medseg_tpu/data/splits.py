@@ -58,11 +58,28 @@ def write_split_csvs(splits, out_dir: str):
             Path(out_dir) / f"{name}.csv", index=False)
 
 
+def print_split_summary(splits, classes: Sequence[str] = CLASSES):
+    """Per-split sizes and class distribution (split_dataset.py:81-97)."""
+    total = sum(len(ids) for ids, _ in splits)
+    print("\nSplit summary:")
+    for name, (ids, labels) in zip(("Train", "Validation", "Test"), splits):
+        print(f"{name}: {len(ids)} images ({len(ids) / total * 100:.1f}%)")
+    print("\nClass distribution:")
+    for name, (ids, labels) in zip(("Train", "Validation", "Test"), splits):
+        print(f"\n{name}:")
+        for cls in classes:
+            count = int(np.sum(labels == cls))
+            pct = count / len(labels) * 100 if len(labels) else 0
+            print(f"  {cls}: {count} ({pct:.1f}%)")
+
+
 def generate_splits(cfg: DataConfig = DataConfig()):
     ids, labels = collect_image_ids(cfg.root, cfg.classes)
     if len(ids) == 0:
         raise ValueError("No images found in the dataset!")
+    print(f"Total images found: {len(ids)}")
     splits = stratified_split(ids, labels, cfg.train_ratio, cfg.val_ratio,
                               cfg.test_ratio, cfg.seed)
+    print_split_summary(splits, cfg.classes)
     write_split_csvs(splits, cfg.splits_dir)
     return splits

@@ -263,4 +263,8 @@ def train_model(
             break
 
     log(f"Training for {name} finished in {(time.time() - start) / 60:.2f} minutes.")
+    if save and not seg and best_score <= 0.0:
+        log(f"[WARNING] {name}: validation accuracy never exceeded 0% — no "
+            f"best checkpoint was saved (eval/serve will skip this model). "
+            f"Train longer or check the data.")
     return TrainResult(name, best_score, epochs_run, state)
