@@ -164,9 +164,34 @@ def evaluate_model(name: str, loader: BatchLoader, variables=None,
     if seg:
         res = _eval_segmentation(model, variables, loader, cfg.threshold,
                                  extra_inputs, clip_size)
+        log(f"\n{name} Test Results:")
+        log("-" * 60)
+        log(f"IoU (Jaccard):     {res['iou']:.2f}%")
+        log(f"Dice Coefficient:  {res['dice']:.2f}%")
+        log(f"Pixel Accuracy:    {res['pixel_accuracy']:.2f}%")
+        log(f"Precision:         {res['precision']:.2f}%")
+        log(f"Recall:            {res['recall']:.2f}%")
+        log(f"F1 Score:          {res['f1']:.2f}%")
     else:
         res = _eval_classification(model, variables, loader, extra_inputs,
                                    clip_size)
+        log(f"\n{name} Test Results:")
+        log("-" * 60)
+        log(f"Accuracy:  {res['accuracy']:.2f}%")
+        log(f"Precision: {res['precision']:.2f}%")
+        log(f"Recall:    {res['recall']:.2f}%")
+        log(f"F1 Score:  {res['f1']:.2f}%")
+        log("\nPer-Class Metrics:")
+        for i, cls in enumerate(CLASSES):
+            log(f"\n{cls}:")
+            log(f"  Precision: {res['precision_per_class'][i]:.2f}%")
+            log(f"  Recall:    {res['recall_per_class'][i]:.2f}%")
+            log(f"  F1 Score:  {res['f1_per_class'][i]:.2f}%")
+        log("\nConfusion Matrix:")
+        log("".join(f"{c:>12}" for c in CLASSES))
+        for i, row in enumerate(res["confusion_matrix"]):
+            log(f"{CLASSES[i]:<12}" + "".join(f"{val:>12}" for val in row))
+    log("=" * 60 + "\n")
     return res
 
 
