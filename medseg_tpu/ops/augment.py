@@ -111,17 +111,25 @@ def augment_batch(
 
     use_pallas = jax.devices()[0].platform == "tpu"
     if fast_warp and use_pallas:
+        # Fully fused path: warp + brightness/contrast + normalize in one
+        # VMEM pass, model-ready output.
         from medseg_tpu.ops.pallas.warp_kernel import warp_affine_pallas
 
-        x = warp_affine_pallas(images, mats)  # float32 [B,H,W,3]
-    elif fast_warp:
-        x = warp_affine_fast(images, mats)
+        x = warp_affine_pallas(
+            images, mats, out_dtype=out_dtype,
+            alpha=params.alpha, beta=params.beta,
+            mean=tuple(m * 255.0 for m in cfg.mean),
+            std=tuple(s * 255.0 for s in cfg.std))
     else:
-        x = I.warp_affine(images, mats, bilinear=True)
-    # RandomBrightnessContrast on 0..255 values (brightness_by_max=True).
-    x = x * params.alpha[:, None, None, None] + params.beta[:, None, None, None] * 255.0
-    x = jnp.clip(x, 0.0, 255.0)
-    x = I.normalize_imagenet(x, cfg.mean, cfg.std).astype(out_dtype)
+        if fast_warp:
+            x = warp_affine_fast(images, mats)
+        else:
+            x = I.warp_affine(images, mats, bilinear=True)
+        # RandomBrightnessContrast on 0..255 values (brightness_by_max=True).
+        x = x * params.alpha[:, None, None, None] \
+            + params.beta[:, None, None, None] * 255.0
+        x = jnp.clip(x, 0.0, 255.0)
+        x = I.normalize_imagenet(x, cfg.mean, cfg.std).astype(out_dtype)
 
     m = None
     if masks is not None:

@@ -79,12 +79,18 @@ def _shift_lines(x, delta, axis: int, nearest: bool):
 
 
 def _warp_kernel(scal_ref, img_ref, out_ref, *, hp: int, wp: int, h: int,
-                 w: int, c: int, nearest: bool, out_dtype):
+                 w: int, c: int, nearest: bool, out_dtype,
+                 mean=None, std=None):
     """One grid step = one image with its C planes stacked on sublanes
     ([C*Hp, Wp]); hat matrices are built once per image, the lane/sublane
     shift stages run on the stacked array (channel cross-talk from circular
-    rolls stays inside the cropped MARGIN because |shift| < MARGIN)."""
-    # scal_ref [B, 6] SMEM (full): aa, cc, bb, m11, m12p, m10 (see warp_fast.py)
+    rolls stays inside the cropped MARGIN because |shift| < MARGIN).
+
+    mean/std (static per-channel tuples) enable the fused photometric
+    epilogue: brightness/contrast (alpha/beta scalars) + normalize applied
+    in the same VMEM pass — the whole augmentation chain in one kernel.
+    """
+    # scal_ref [B, 6(+2)] SMEM (full): aa, cc, bb, m11, m12p, m10 [, alpha, beta]
     i = pl.program_id(0)
     aa = scal_ref[i, 0]
     cc = scal_ref[i, 1]
@@ -128,18 +134,28 @@ def _warp_kernel(scal_ref, img_ref, out_ref, *, hp: int, wp: int, h: int,
                        preferred_element_type=jnp.float32)     # [wide, w]
         outp = _shift_lines(outp.astype(roll_dtype), delta_b, axis=0,
                             nearest=nearest)
-        out_ref[0, ch * h:(ch + 1) * h, :] = (
-            outp[MARGIN:MARGIN + h].astype(out_dtype))
+        outp = outp[MARGIN:MARGIN + h]
+        if mean is not None:
+            alpha = scal_ref[i, 6]
+            beta = scal_ref[i, 7]
+            outp = jnp.clip(outp * alpha + beta * 255.0, 0.0, 255.0)
+            outp = (outp - mean[ch]) / std[ch]
+        out_ref[0, ch * h:(ch + 1) * h, :] = outp.astype(out_dtype)
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("nearest", "out_dtype", "interpret"))
+                   static_argnames=("nearest", "out_dtype", "interpret",
+                                    "mean", "std"))
 def warp_affine_pallas(images: jax.Array, matrices: jax.Array,
                        nearest: bool = False, out_dtype=jnp.float32,
-                       interpret: bool = False) -> jax.Array:
+                       interpret: bool = False, alpha=None, beta=None,
+                       mean=None, std=None) -> jax.Array:
     """Drop-in for warp_affine_fast with a VMEM-resident Pallas kernel.
 
     images [B,H,W,C], matrices [B,2,3] dst->src (unpadded coords).
+    With alpha/beta [B] and static mean/std tuples (0..255 scale), the
+    brightness/contrast + normalize epilogue fuses into the same pass and
+    the output is model-ready.
     """
     b, h, w, c = images.shape
     x = images.astype(jnp.float32)
@@ -158,10 +174,15 @@ def warp_affine_pallas(images: jax.Array, matrices: jax.Array,
     bb = m01 / m11
     aa = m00 - bb * m10
     cc = m02p - bb * m12p
-    scalars = jnp.stack([aa, cc, bb, m11, m12p, m10], axis=-1)  # [B, 6]
+    cols = [aa, cc, bb, m11, m12p, m10]
+    if mean is not None:
+        assert alpha is not None and beta is not None
+        cols += [alpha.astype(jnp.float32), beta.astype(jnp.float32)]
+    scalars = jnp.stack(cols, axis=-1)  # [B, 6 or 8]
 
     kernel = functools.partial(_warp_kernel, hp=hp, wp=wp, h=h, w=w, c=c,
-                               nearest=nearest, out_dtype=out_dtype)
+                               nearest=nearest, out_dtype=out_dtype,
+                               mean=mean, std=std)
     out = pl.pallas_call(
         kernel,
         grid=(b,),
