@@ -134,15 +134,19 @@ def augment_batch(
     m = None
     if masks is not None:
         if fast_warp and use_pallas:
+            # Binary masks: bilinear warp + 0.5 threshold instead of the
+            # nearest kernel — identical up to half-pixel edge decisions and
+            # ~10x faster (Mosaic's nearest one-hot path hits a slow layout).
             from medseg_tpu.ops.pallas.warp_kernel import warp_affine_pallas
 
-            m = warp_affine_pallas(masks[..., None], mats, nearest=True)
-        elif fast_warp:
-            m = warp_affine_fast(masks[..., None], mats, nearest=True)
+            m = warp_affine_pallas(masks[..., None], mats, nearest=False)
+            m = (m > 127.5).astype(out_dtype)
         else:
-            m = I.warp_affine(masks[..., None], mats, bilinear=False)
-        m = m.astype(jnp.float32) / 255.0
-        m = m.astype(out_dtype)
+            if fast_warp:
+                m = warp_affine_fast(masks[..., None], mats, nearest=True)
+            else:
+                m = I.warp_affine(masks[..., None], mats, bilinear=False)
+            m = (m.astype(jnp.float32) / 255.0).astype(out_dtype)
     return x, m
 
 
