@@ -111,42 +111,49 @@ def augment_batch(
 
     use_pallas = jax.devices()[0].platform == "tpu"
     if fast_warp and use_pallas:
-        # Fully fused path: warp + brightness/contrast + normalize in one
-        # VMEM pass, model-ready output.
+        # Fully fused path: ONE kernel call warps image channels AND (for
+        # segmentation) the mask as a 4th plane, applying the photometric
+        # epilogue (brightness/contrast + normalize) in the same VMEM pass.
+        # The mask plane rides the epilogue with mean=0/std=1; alpha/beta
+        # keep 127.5 inside the clip's linear region, so the binary
+        # threshold maps exactly to t = 127.5*alpha + beta*255 per sample
+        # (bilinear warp + threshold == nearest up to half-pixel edges).
         from medseg_tpu.ops.pallas.warp_kernel import warp_affine_pallas
 
-        x = warp_affine_pallas(
-            images, mats, out_dtype=out_dtype,
-            alpha=params.alpha, beta=params.beta,
-            mean=tuple(m * 255.0 for m in cfg.mean),
-            std=tuple(s * 255.0 for s in cfg.std))
+        mean = tuple(m * 255.0 for m in cfg.mean)
+        std = tuple(s * 255.0 for s in cfg.std)
+        inp = images
+        if masks is not None:
+            inp = jnp.concatenate([images, masks[..., None]], axis=-1)
+            mean = mean + (0.0,)
+            std = std + (1.0,)
+        out = warp_affine_pallas(
+            inp, mats, out_dtype=jnp.float32,
+            alpha=params.alpha, beta=params.beta, mean=mean, std=std)
+        x = out[..., :3].astype(out_dtype)
+        m = None
+        if masks is not None:
+            thr = (127.5 * params.alpha + params.beta * 255.0)[:, None, None]
+            m = (out[..., 3] > thr).astype(out_dtype)[..., None]
+        return x, m
+
+    if fast_warp:
+        x = warp_affine_fast(images, mats)
     else:
-        if fast_warp:
-            x = warp_affine_fast(images, mats)
-        else:
-            x = I.warp_affine(images, mats, bilinear=True)
-        # RandomBrightnessContrast on 0..255 values (brightness_by_max=True).
-        x = x * params.alpha[:, None, None, None] \
-            + params.beta[:, None, None, None] * 255.0
-        x = jnp.clip(x, 0.0, 255.0)
-        x = I.normalize_imagenet(x, cfg.mean, cfg.std).astype(out_dtype)
+        x = I.warp_affine(images, mats, bilinear=True)
+    # RandomBrightnessContrast on 0..255 values (brightness_by_max=True).
+    x = x * params.alpha[:, None, None, None] \
+        + params.beta[:, None, None, None] * 255.0
+    x = jnp.clip(x, 0.0, 255.0)
+    x = I.normalize_imagenet(x, cfg.mean, cfg.std).astype(out_dtype)
 
     m = None
     if masks is not None:
-        if fast_warp and use_pallas:
-            # Binary masks: bilinear warp + 0.5 threshold instead of the
-            # nearest kernel — identical up to half-pixel edge decisions and
-            # ~10x faster (Mosaic's nearest one-hot path hits a slow layout).
-            from medseg_tpu.ops.pallas.warp_kernel import warp_affine_pallas
-
-            m = warp_affine_pallas(masks[..., None], mats, nearest=False)
-            m = (m > 127.5).astype(out_dtype)
+        if fast_warp:
+            m = warp_affine_fast(masks[..., None], mats, nearest=True)
         else:
-            if fast_warp:
-                m = warp_affine_fast(masks[..., None], mats, nearest=True)
-            else:
-                m = I.warp_affine(masks[..., None], mats, bilinear=False)
-            m = (m.astype(jnp.float32) / 255.0).astype(out_dtype)
+            m = I.warp_affine(masks[..., None], mats, bilinear=False)
+        m = (m.astype(jnp.float32) / 255.0).astype(out_dtype)
     return x, m
 
 

@@ -107,9 +107,8 @@ def _warp_kernel(scal_ref, img_ref, out_ref, *, hp: int, wp: int, h: int,
     # Pass A (horizontal): src_x = aa*u + bb*row + cc
     u = _iota_f32((wide, 1), 0) + col0
     a1 = _hat(aa * u + (cc + bb * mid_row), wp, nearest)       # [wide, Wp]
-    rows = _iota_f32((c * hp, 1), 0)
-    rows = rows - hp * jnp.floor(rows / hp)                    # row % Hp
-    delta_a = bb * (rows - mid_row) / aa                       # [C*Hp, 1]
+    rows = _iota_f32((hp, 1), 0)
+    delta_a = bb * (rows - mid_row) / aa                       # [Hp, 1]
 
     # Pass B (vertical): src_y = m11*v + m10*col + m12p
     v = _iota_f32((wide, 1), 0) + col0
@@ -120,20 +119,17 @@ def _warp_kernel(scal_ref, img_ref, out_ref, *, hp: int, wp: int, h: int,
     # Shift stages must run in f32: Mosaic's tpu.dynamic_rotate only
     # implements 32-bit element types on this generation (bf16 rolls would
     # halve the bandwidth-bound VMEM traffic — revisit when supported).
-    roll_dtype = jnp.float32
-
-    stacked = img_ref[0]                                       # [C*Hp, Wp] f32
-    tmp = jax.lax.dot_general(
-        stacked, a1, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32)                    # [C*Hp, wide]
-    tmp = _shift_lines(tmp.astype(roll_dtype), delta_a, axis=1,
-                       nearest=nearest)
-    tmp = tmp[:, MARGIN:MARGIN + w]                            # [C*Hp, w]
+    # Channels loop through both passes so the per-channel working set
+    # (~2MB) bounds VMEM regardless of C; matrices/deltas are built once.
     for ch in range(c):
-        outp = jnp.dot(a2, tmp[ch * hp:(ch + 1) * hp],
-                       preferred_element_type=jnp.float32)     # [wide, w]
-        outp = _shift_lines(outp.astype(roll_dtype), delta_b, axis=0,
-                            nearest=nearest)
+        plane = img_ref[0, ch * hp:(ch + 1) * hp]              # [Hp, Wp] f32
+        tmp = jax.lax.dot_general(
+            plane, a1, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)                # [Hp, wide]
+        tmp = _shift_lines(tmp, delta_a, axis=1, nearest=nearest)
+        tmp = tmp[:, MARGIN:MARGIN + w]                        # [Hp, w]
+        outp = jnp.dot(a2, tmp, preferred_element_type=jnp.float32)  # [wide, w]
+        outp = _shift_lines(outp, delta_b, axis=0, nearest=nearest)
         outp = outp[MARGIN:MARGIN + h]
         if mean is not None:
             alpha = scal_ref[i, 6]
