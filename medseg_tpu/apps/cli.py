@@ -71,16 +71,24 @@ def _cmd_train(args):
     from medseg_tpu.train.trainer import train_model
 
     cfg = TrainConfig(epochs=args.epochs, lr=args.lr,
-                      save_root=args.weights_root)
+                      save_root=args.weights_root,
+                      compute_dtype=args.dtype)
+    mesh = None
+    if args.data_parallel:
+        from medseg_tpu.parallel import data_parallel_mesh
+
+        mesh = data_parallel_mesh()
+        print(f"[INFO] data-parallel over {mesh.size} devices")
     results = {}
     for name in args.models:
         task = get_model(name)["task"]
         seg = task == "segmentation"
-        bs = cfg.seg_batch_size if seg else cfg.cls_batch_size
+        bs = args.batch_size or (cfg.seg_batch_size if seg else cfg.cls_batch_size)
         print(f"\n--- Training {task} model: {name} ---")
         train, val = _loaders(args.cache_dir, "seg" if seg else "cls", bs,
                               cfg.val_fraction)
-        res = train_model(name, train, val, cfg)
+        res = train_model(name, train, val, cfg, mesh=mesh,
+                          resume=args.resume)
         results[name] = res.best_score
 
     print("\n\n=============== Training Summary ===============")
@@ -191,6 +199,12 @@ def main(argv=None):
     sp.add_argument("models", nargs="*", default=DEFAULT_TRAIN_MODELS)
     sp.add_argument("--epochs", type=int, default=20)
     sp.add_argument("--lr", type=float, default=1e-6)
+    sp.add_argument("--batch-size", type=int, default=None)
+    sp.add_argument("--dtype", default="bfloat16",
+                    choices=["bfloat16", "float32"])
+    sp.add_argument("--resume", action="store_true")
+    sp.add_argument("--data-parallel", action="store_true",
+                    help="shard batches over all devices (Mesh('data'))")
     sp = add("eval", _cmd_eval)
     sp.add_argument("--batch-size", type=int, default=16)
     sp.add_argument("--compare", default=None,
