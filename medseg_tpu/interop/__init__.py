@@ -11,3 +11,9 @@ from medseg_tpu.interop.hf_clip import (  # noqa: F401
     convert_clip_classifier,
     convert_clipseg,
 )
+from medseg_tpu.interop.export_torch import (  # noqa: F401
+    export_resnet_classifier,
+    export_resnet_unet,
+    export_vgg_classifier,
+    save_torch_checkpoint,
+)
