@@ -12,6 +12,8 @@ from medseg_tpu.interop.hf_clip import (  # noqa: F401
     convert_clipseg,
 )
 from medseg_tpu.interop.export_torch import (  # noqa: F401
+    export_attention_unet,
+    export_r2u_net,
     export_resnet_classifier,
     export_resnet_unet,
     export_vgg_classifier,

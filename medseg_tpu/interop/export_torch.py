@@ -134,6 +134,65 @@ def export_resnet_unet(variables: Mapping) -> Dict[str, np.ndarray]:
     return w.sd
 
 
+def _export_double_conv(w: _Writer, prefix: str, bp: Mapping, bs: Mapping,
+                        indices=(0, 1, 3, 4)):
+    c0, b0, c1, b1 = indices
+    w.conv(f"{prefix}.{c0}", bp["conv1"]["conv"])
+    w.bn(f"{prefix}.{b0}", bp["conv1"]["bn"], bs["conv1"]["bn"])
+    w.conv(f"{prefix}.{c1}", bp["conv2"]["conv"])
+    w.bn(f"{prefix}.{b1}", bp["conv2"]["bn"], bs["conv2"]["bn"])
+
+
+def _export_up_conv(w: _Writer, prefix: str, bp: Mapping, bs: Mapping):
+    w.conv(f"{prefix}.up.1", bp["conv"]["conv"])
+    w.bn(f"{prefix}.up.2", bp["conv"]["bn"], bs["conv"]["bn"])
+
+
+def _export_att_gate(w: _Writer, prefix: str, bp: Mapping, bs: Mapping):
+    for ours, theirs in (("w_g", "W_g"), ("w_x", "W_x"), ("psi", "psi")):
+        w.conv(f"{prefix}.{theirs}.0", bp[ours]["conv"])
+        w.bn(f"{prefix}.{theirs}.1", bp[ours]["bn"], bs[ours]["bn"])
+
+
+def export_attention_unet(variables: Mapping) -> Dict[str, np.ndarray]:
+    """-> reference AttentionUNet state_dict (AttentionUNet.py module tree)."""
+    w = _Writer()
+    p = variables["params"]
+    s = variables["batch_stats"]
+    for i in range(1, 6):
+        _export_double_conv(w, f"conv{i}", p[f"conv{i}"], s[f"conv{i}"])
+    for i in range(5, 1, -1):
+        _export_up_conv(w, f"up{i}", p[f"up{i}"], s[f"up{i}"])
+        _export_att_gate(w, f"att{i}", p[f"att{i}"], s[f"att{i}"])
+        _export_double_conv(w, f"up_conv{i}", p[f"up_conv{i}"], s[f"up_conv{i}"])
+    w.conv("out", p["out"])
+    return w.sd
+
+
+def _export_rrcnn(w: _Writer, prefix: str, bp: Mapping, bs: Mapping):
+    w.conv(f"{prefix}.conv_1x1", bp["conv_1x1"])
+    for i, name in enumerate(("rcnn1", "rcnn2")):
+        w.conv(f"{prefix}.RCNN.{i}.conv.0", bp[name]["conv"]["conv"])
+        w.bn(f"{prefix}.RCNN.{i}.conv.1", bp[name]["conv"]["bn"],
+             bs[name]["conv"]["bn"])
+
+
+def export_r2u_net(variables: Mapping, attention: bool = False) -> Dict[str, np.ndarray]:
+    """-> reference R2U_Net / R2AttU_Net state_dict."""
+    w = _Writer()
+    p = variables["params"]
+    s = variables["batch_stats"]
+    for i in range(1, 6):
+        _export_rrcnn(w, f"RRCNN{i}", p[f"rrcnn{i}"], s[f"rrcnn{i}"])
+    for i in range(5, 1, -1):
+        _export_up_conv(w, f"up{i}", p[f"up{i}"], s[f"up{i}"])
+        if attention:
+            _export_att_gate(w, f"att{i}", p[f"att{i}"], s[f"att{i}"])
+        _export_rrcnn(w, f"up_RRCNN{i}", p[f"up_rrcnn{i}"], s[f"up_rrcnn{i}"])
+    w.conv("conv_1x1", p["out"])
+    return w.sd
+
+
 def save_torch_checkpoint(state_dict: Dict[str, np.ndarray], path: str):
     """Write a torch-loadable .pt file (torch must be available)."""
     import torch

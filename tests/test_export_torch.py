@@ -52,3 +52,22 @@ def test_resnet_unet_export_roundtrip(tmp_path):
     loaded = torch.load(tmp_path / "ResNetUnet_best_loss.pt",
                         weights_only=True)
     assert "decoder5.up_sample.weight" in loaded
+
+
+def test_attention_unet_export_roundtrip():
+    from tests.torch_oracles import TAttentionUNet
+
+    tm = randomize_bn_stats(TAttentionUNet()).eval()
+    variables = interop.convert_attention_unet(tm.state_dict())
+    sd = X.export_attention_unet(variables)
+    _assert_roundtrip(sd, tm)
+
+
+@pytest.mark.parametrize("attention", [False, True])
+def test_r2u_net_export_roundtrip(attention):
+    from tests.torch_oracles import TR2UNet
+
+    tm = randomize_bn_stats(TR2UNet(t=2, attention=attention)).eval()
+    variables = interop.convert_r2u_net(tm.state_dict(), attention=attention)
+    sd = X.export_r2u_net(variables, attention=attention)
+    _assert_roundtrip(sd, tm)
