@@ -8,8 +8,6 @@ overlay visibility.  Gated on gradio being installed.
 
 from __future__ import annotations
 
-from pathlib import Path
-
 from medseg_tpu.core.config import EvalConfig
 
 CSS = """

@@ -11,7 +11,6 @@ from __future__ import annotations
 
 import os
 import shutil
-import sys
 from pathlib import Path
 
 MAIN_DATA_FOLDER = "COVID-19_Radiography_Dataset"

@@ -13,7 +13,7 @@ from typing import List, Optional
 
 import pandas as pd
 
-from medseg_tpu.core.config import CLASSES, DataConfig
+from medseg_tpu.core.config import DataConfig
 
 
 @dataclasses.dataclass

@@ -19,7 +19,6 @@ cv2/PIL.
 
 from __future__ import annotations
 
-import json
 import os
 from pathlib import Path
 from typing import List, Optional, Sequence

@@ -5,7 +5,7 @@ README tables use; SURVEY.md §4 'csv parity replay').
 
 from __future__ import annotations
 
-from typing import Callable, Dict, List
+from typing import Callable, Dict
 
 import pandas as pd
 

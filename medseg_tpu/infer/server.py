@@ -20,8 +20,6 @@ import io
 import json
 import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
-from typing import Optional
-
 import numpy as np
 
 from medseg_tpu.core.config import EvalConfig

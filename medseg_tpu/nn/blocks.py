@@ -13,8 +13,6 @@ parallelism").
 
 from __future__ import annotations
 
-from typing import Callable, Sequence
-
 import jax.numpy as jnp
 from flax import linen as nn
 

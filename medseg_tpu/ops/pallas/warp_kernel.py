@@ -27,7 +27,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from medseg_tpu.ops.warp_fast import COARSE, MAX_SHIFT, PAD
+from medseg_tpu.ops.warp_fast import MAX_SHIFT, PAD
 
 MARGIN = 64  # roll margin inside the kernel intermediates
 

@@ -28,9 +28,6 @@ untouched (SURVEY.md §7 'Random aug parity').
 
 from __future__ import annotations
 
-import functools
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
 

@@ -14,7 +14,7 @@ on device (ops/clip_prep.py), replacing the per-sample HF processor calls.
 from __future__ import annotations
 
 import time
-from typing import Callable, Optional
+from typing import Callable
 
 import jax
 import jax.numpy as jnp

@@ -12,8 +12,7 @@ on device.
 
 from __future__ import annotations
 
-import functools
-from typing import Any, Callable, Optional
+from typing import Any
 
 import jax
 import jax.numpy as jnp
@@ -21,7 +20,6 @@ import optax
 from flax import struct
 
 from medseg_tpu.train import losses
-from medseg_tpu.train.freeze import all_trainable
 
 
 class TrainState(struct.PyTreeNode):
