@@ -75,7 +75,7 @@ def make_cls_train_step(model, optimizer, label_smoothing: float = 0.1):
                 images, train=True, mutable=["batch_stats"],
                 rngs={"dropout": rng})
             loss = losses.cross_entropy(out, labels, label_smoothing)
-            return loss, (out, mutated["batch_stats"])
+            return loss, (out, mutated.get("batch_stats", {}))
 
         (loss, (out, new_stats)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state.params)
@@ -106,7 +106,7 @@ def make_seg_train_step(model, optimizer, loss_name: str = "bce"):
             if out.ndim == 3:
                 out = out[..., None]
             loss = loss_fn_inner(out, masks)
-            return loss, mutated["batch_stats"]
+            return loss, mutated.get("batch_stats", {})
 
         (loss, new_stats), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state.params)
