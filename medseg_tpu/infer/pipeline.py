@@ -62,6 +62,10 @@ class Pipeline:
         lname = name.lower()
 
         if lname == "clip":
+            if self.text_features is None:
+                raise ValueError(
+                    "Pipeline(text_features=...) is required for the CLIP "
+                    "classifier (precomputed normalized prompt embeddings)")
             tf = jnp.asarray(self.text_features)
 
             @jax.jit
@@ -87,6 +91,10 @@ class Pipeline:
     def _build_seg_fn(self, name: str, variables):
         model = get_model(name)["factory"]()
         if name.lower() == "clipseg":
+            if self.clipseg_cond is None:
+                raise ValueError(
+                    "Pipeline(clipseg_cond=...) is required for CLIPSeg "
+                    "(precomputed conditional text embedding)")
             cond = jnp.asarray(self.clipseg_cond)
 
             @jax.jit

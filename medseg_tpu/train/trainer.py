@@ -95,6 +95,10 @@ def train_model(
     (capability absent in the reference, SURVEY.md §5).
     """
     entry = get_model(name)
+    if entry.get("needs_text_features"):
+        raise ValueError(
+            f"{name} uses the dedicated finetune recipe "
+            f"(train.finetune_clip / train.finetune_clipseg), not train_model")
     seg = entry["task"] == "segmentation"
     policy = policy_from_name(cfg.compute_dtype)
     model = entry["factory"](dtype=policy.compute_dtype)

@@ -20,7 +20,8 @@ def test_step_timer_statistics():
         with t:
             time.sleep(0.01)
     assert len(t.times) == 3 and len(t.steady) == 2
-    assert 0.005 < t.mean() < 0.1
+    # loose upper bound: the 1-core CI box can stall sleeps under contention
+    assert 0.005 < t.mean() < 5.0
     assert "throughput" in t.summary(items_per_step=4)
 
 
