@@ -62,8 +62,12 @@ def activation(name: str):
 
 
 class Attention(nn.Module):
+    """MHA via jax.nn.dot_product_attention (XLA's fused attention path;
+    flash-style kernels add nothing at these sequence lengths)."""
+
     hidden: int
     heads: int
+    causal: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -71,17 +75,10 @@ class Attention(nn.Module):
         b, s, _ = x.shape
         head_dim = self.hidden // self.heads
         dense = lambda name: nn.Dense(self.hidden, dtype=self.dtype, name=name)  # noqa: E731
-        q = dense("q_proj")(x) * (head_dim ** -0.5)
-        k = dense("k_proj")(x)
-        v = dense("v_proj")(x)
-        q = q.reshape(b, s, self.heads, head_dim)
-        k = k.reshape(b, s, self.heads, head_dim)
-        v = v.reshape(b, s, self.heads, head_dim)
-        logits = jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32)
-        if mask is not None:
-            logits = logits + mask
-        weights = jax.nn.softmax(logits, axis=-1).astype(self.dtype)
-        out = jnp.einsum("bhqk,bkhd->bqhd", weights, v)
+        q = dense("q_proj")(x).reshape(b, s, self.heads, head_dim)
+        k = dense("k_proj")(x).reshape(b, s, self.heads, head_dim)
+        v = dense("v_proj")(x).reshape(b, s, self.heads, head_dim)
+        out = jax.nn.dot_product_attention(q, k, v, bias=mask)
         out = out.reshape(b, s, self.hidden)
         return dense("out_proj")(out)
 
