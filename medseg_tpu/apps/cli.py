@@ -164,6 +164,22 @@ def _cmd_demo(args):
     launch_demo(share=args.share)
 
 
+def _cmd_predict(args):
+    import glob as _glob
+
+    from medseg_tpu.core.config import EvalConfig
+    from medseg_tpu.infer.batch import batch_predict
+
+    paths = sorted(_glob.glob(f"{args.input}/*.png")
+                   + _glob.glob(f"{args.input}/*.jpg"))
+    if not paths:
+        print(f"no images found under {args.input}")
+        return
+    batch_predict(paths, cls_name=args.cls_model, seg_name=args.seg_model,
+                  cfg=EvalConfig(weights_root=args.weights_root),
+                  batch_size=args.batch_size, output_dir=args.output)
+
+
 def _cmd_serve(args):
     from medseg_tpu.core.config import EvalConfig
     from medseg_tpu.infer.server import InferenceServer
@@ -213,6 +229,12 @@ def main(argv=None):
     add("finetune-clipseg", _cmd_finetune_clipseg)
     sp = add("demo", _cmd_demo)
     sp.add_argument("--share", action="store_true")
+    sp = add("predict", _cmd_predict)
+    sp.add_argument("--input", required=True)
+    sp.add_argument("--output", default="predictions")
+    sp.add_argument("--cls-model", default="ResNet18")
+    sp.add_argument("--seg-model", default="ResNetUnet")
+    sp.add_argument("--batch-size", type=int, default=64)
     sp = add("serve", _cmd_serve)
     sp.add_argument("--host", default="127.0.0.1")
     sp.add_argument("--port", type=int, default=8000)
