@@ -119,15 +119,31 @@ def _warp_kernel(scal_ref, img_ref, out_ref, *, hp: int, wp: int, h: int,
     # Shift stages must run in f32: Mosaic's tpu.dynamic_rotate only
     # implements 32-bit element types on this generation (bf16 rolls would
     # halve the bandwidth-bound VMEM traffic — revisit when supported).
-    # Channels loop through both passes so the per-channel working set
-    # (~2MB) bounds VMEM regardless of C; matrices/deltas are built once.
+    # Pass A runs channel-stacked when the working set fits VMEM (C <= 3:
+    # one shared matmul + one shift sequence; lane rolls can't cross rows so
+    # stacking is exact); larger C falls back to per-channel to bound VMEM.
+    stack_pass_a = c <= 3
+    if stack_pass_a:
+        stacked = img_ref[0]                                   # [C*Hp, Wp]
+        tmp_all = jax.lax.dot_general(
+            stacked, a1, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)                # [C*Hp, wide]
+        srows = _iota_f32((c * hp, 1), 0)
+        srows = srows - hp * jnp.floor(srows / hp)             # row % Hp
+        delta_a_stacked = bb * (srows - mid_row) / aa
+        tmp_all = _shift_lines(tmp_all, delta_a_stacked, axis=1,
+                               nearest=nearest)
+        tmp_all = tmp_all[:, MARGIN:MARGIN + w]                # [C*Hp, w]
     for ch in range(c):
-        plane = img_ref[0, ch * hp:(ch + 1) * hp]              # [Hp, Wp] f32
-        tmp = jax.lax.dot_general(
-            plane, a1, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)                # [Hp, wide]
-        tmp = _shift_lines(tmp, delta_a, axis=1, nearest=nearest)
-        tmp = tmp[:, MARGIN:MARGIN + w]                        # [Hp, w]
+        if stack_pass_a:
+            tmp = tmp_all[ch * hp:(ch + 1) * hp]               # [Hp, w]
+        else:
+            plane = img_ref[0, ch * hp:(ch + 1) * hp]          # [Hp, Wp] f32
+            tmp = jax.lax.dot_general(
+                plane, a1, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)            # [Hp, wide]
+            tmp = _shift_lines(tmp, delta_a, axis=1, nearest=nearest)
+            tmp = tmp[:, MARGIN:MARGIN + w]                    # [Hp, w]
         outp = jnp.dot(a2, tmp, preferred_element_type=jnp.float32)  # [wide, w]
         outp = _shift_lines(outp, delta_b, axis=0, nearest=nearest)
         outp = outp[MARGIN:MARGIN + h]
