@@ -74,12 +74,19 @@ def finetune_clipseg(
                              method="bilinear")
         return x, m[..., 0]
 
+    # jax.checkpoint here is load-bearing beyond memory: the un-remat'd
+    # CLIPSeg backward graph crashes XLA's TPU fusion-cost pass (SIGILL in
+    # TpuPriorityFusionQueue on the v5e toolchain); remat changes the fusion
+    # landscape and compiles cleanly.
+    apply_remat = jax.checkpoint(
+        lambda p, x, c: model.apply({"params": p}, x, cond=c))
+
     @jax.jit
     def train_step(params, opt_state, images_u8, masks_u8):
         def loss_fn(p):
             x, m = prep(images_u8, masks_u8)
             c = jnp.broadcast_to(cond, (x.shape[0], cond.shape[-1]))
-            logits = model.apply({"params": p}, x, cond=c)
+            logits = apply_remat(p, x, c)
             return combined_loss(logits, m, cfg.bce_weight, cfg.dice_weight)
 
         loss, grads = jax.value_and_grad(loss_fn)(params)
