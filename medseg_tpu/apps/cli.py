@@ -180,6 +180,46 @@ def _cmd_predict(args):
                   batch_size=args.batch_size, output_dir=args.output)
 
 
+def _cmd_export_torch(args):
+    """Write a reference-format torch .pt from an orbax best checkpoint."""
+    from pathlib import Path
+
+    from medseg_tpu import interop
+    from medseg_tpu.core.registry import get_model
+    from medseg_tpu.train import checkpoint as ckpt
+
+    name = args.model
+    seg = get_model(name)["task"] == "segmentation"
+    sub = "segmentation_models" if seg else "classification_models"
+    variables = ckpt.load_best(str(Path(args.weights_root) / sub), name, seg)
+    lname = name.lower()
+    if lname == "resnet18":
+        sd = interop.export_resnet_classifier(variables, 18)
+    elif lname == "resnet50":
+        sd = interop.export_resnet_classifier(variables, 50)
+    elif lname == "vgg16":
+        sd = interop.export_vgg_classifier(variables, 16)
+    elif lname == "vgg19":
+        sd = interop.export_vgg_classifier(variables, 19)
+    elif lname == "resnetunet":
+        sd = interop.export_resnet_unet(variables)
+    elif lname == "attentionunet":
+        sd = interop.export_attention_unet(variables)
+    elif lname == "r2unet":
+        sd = interop.export_r2u_net(variables, attention=False)
+    elif lname == "r2attunet":
+        sd = interop.export_r2u_net(variables, attention=True)
+    else:
+        raise SystemExit(f"no torch exporter for {name} (CLIP/CLIPSeg "
+                         f"checkpoints are HF state dicts; convert via "
+                         f"interop.hf_clip)")
+    suffix = "best_loss" if seg else "best_acc"
+    out = args.out or f"{name}_{suffix}.pt"
+    interop.save_torch_checkpoint(sd, out)
+    print(f"exported {len(sd)} tensors -> {out} "
+          f"(loadable by the reference's tester/pipeline)")
+
+
 def _cmd_serve(args):
     from medseg_tpu.core.config import EvalConfig
     from medseg_tpu.infer.server import InferenceServer
@@ -229,6 +269,9 @@ def main(argv=None):
     add("finetune-clipseg", _cmd_finetune_clipseg)
     sp = add("demo", _cmd_demo)
     sp.add_argument("--share", action="store_true")
+    sp = add("export-torch", _cmd_export_torch)
+    sp.add_argument("model")
+    sp.add_argument("--out", default=None)
     sp = add("predict", _cmd_predict)
     sp.add_argument("--input", required=True)
     sp.add_argument("--output", default="predictions")

@@ -48,3 +48,22 @@ def test_cli_serve_registered():
 
     with pytest.raises(SystemExit):
         main(["serve", "--help"])
+
+
+def test_cli_export_torch_roundtrip(tmp_path, monkeypatch):
+    torch = pytest.importorskip("torch")
+    import jax
+    from medseg_tpu.core.registry import get_model
+    from medseg_tpu.train import checkpoint as ckpt
+
+    model = get_model("ResNet18")["factory"]()
+    variables = model.init(jax.random.key(0),
+                           np.zeros((1, 32, 32, 3), np.float32))
+    ckpt.save_best(str(tmp_path / "w" / "classification_models"), "ResNet18",
+                   False, variables["params"], variables["batch_stats"])
+    out = tmp_path / "ResNet18_best_acc.pt"
+    main(["export-torch", "ResNet18", "--weights-root", str(tmp_path / "w"),
+          "--out", str(out)])
+    sd = torch.load(out, weights_only=True)
+    assert "conv1.weight" in sd and "fc.1.weight" in sd
+    assert sd["conv1.weight"].shape == (64, 3, 7, 7)
