@@ -108,6 +108,10 @@ def train_model(
 
         train_loader.sharding = batch_sharding(mesh)
         val_loader.sharding = batch_sharding(mesh)
+        # batches must divide across the data axis; drop ragged tails
+        # (epoch statistics still normalize by the samples actually seen)
+        train_loader.drop_last = True
+        val_loader.drop_last = True
 
     rng = jax.random.key(seed)
     rng, init_rng = jax.random.split(rng)
@@ -175,8 +179,6 @@ def train_model(
     if mesh is not None:
         state = jax.device_put(state, replicated(mesh))
 
-    n_train = train_loader.num_samples
-    n_val = val_loader.num_samples
     start = time.time()
     epochs_run = 0
 
@@ -207,6 +209,7 @@ def train_model(
         # --- train epoch ---------------------------------------------------
         running_loss = 0.0
         correct = 0
+        n_seen = 0
         for images, targets in train_loader:
             rng, aug_rng, drop_rng = jax.random.split(rng, 3)
             x, t = train_prep(aug_rng, images, targets)
@@ -216,11 +219,13 @@ def train_model(
                 state, loss, corr = train_step(state, x, t, drop_rng)
                 correct += int(corr)
             running_loss += float(loss) * x.shape[0]
+            n_seen += x.shape[0]
 
         # --- validation ----------------------------------------------------
         val_loss = 0.0
         val_metric = 0.0
         n_batches = 0
+        n_val_seen = 0
         for images, targets in val_loader:
             x, t = eval_prep(images, targets)
             if seg:
@@ -231,19 +236,20 @@ def train_model(
                 val_metric += int(corr)
             val_loss += float(loss_sum)
             n_batches += 1
-        val_loss /= max(1, n_val)
+            n_val_seen += x.shape[0]
+        val_loss /= max(1, n_val_seen)
 
         # --- scoring, logging (helpers.py:364-392) -------------------------
         if seg:
             val_iou = val_metric / max(1, n_batches)
             score = val_loss
-            log(f"[{name}] Ep{epoch}: TrainLoss {running_loss / n_train:.3f} | "
+            log(f"[{name}] Ep{epoch}: TrainLoss {running_loss / max(1, n_seen):.3f} | "
                 f"ValLoss {val_loss:.3f} | IoU {val_iou:.3f}")
         else:
-            train_acc = 100.0 * correct / n_train
-            val_acc = 100.0 * val_metric / max(1, n_val)
+            train_acc = 100.0 * correct / max(1, n_seen)
+            val_acc = 100.0 * val_metric / max(1, n_val_seen)
             score = val_acc
-            log(f"[{name}] Ep{epoch}: TrainLoss {running_loss / n_train:.3f} "
+            log(f"[{name}] Ep{epoch}: TrainLoss {running_loss / max(1, n_seen):.3f} "
                 f"(Acc {train_acc:.2f}%) | ValLoss {val_loss:.3f} | "
                 f"ValAcc {val_acc:.2f}%")
             if plateau is not None:
