@@ -79,6 +79,8 @@ def _cmd_train(args):
 
         mesh = data_parallel_mesh()
         print(f"[INFO] data-parallel over {mesh.size} devices")
+    from medseg_tpu.utils import trace_context
+
     results = {}
     for name in args.models:
         task = get_model(name)["task"]
@@ -87,8 +89,9 @@ def _cmd_train(args):
         print(f"\n--- Training {task} model: {name} ---")
         train, val = _loaders(args.cache_dir, "seg" if seg else "cls", bs,
                               cfg.val_fraction)
-        res = train_model(name, train, val, cfg, mesh=mesh,
-                          resume=args.resume)
+        with trace_context(args.profile):
+            res = train_model(name, train, val, cfg, mesh=mesh,
+                              resume=args.resume)
         results[name] = res.best_score
 
     print("\n\n=============== Training Summary ===============")
@@ -261,6 +264,8 @@ def main(argv=None):
     sp.add_argument("--resume", action="store_true")
     sp.add_argument("--data-parallel", action="store_true",
                     help="shard batches over all devices (Mesh('data'))")
+    sp.add_argument("--profile", default=None,
+                    help="jax.profiler trace directory (TensorBoard-loadable)")
     sp = add("eval", _cmd_eval)
     sp.add_argument("--batch-size", type=int, default=16)
     sp.add_argument("--compare", default=None,
