@@ -1,5 +1,6 @@
 from medseg_tpu.eval.harness import (  # noqa: F401
     evaluate_model,
+    load_model_bundle,
     load_torch_weights,
     print_summary,
     test_all_models,

@@ -33,12 +33,25 @@ CLS_MODELS = ("ResNet18", "ResNet50", "VGG16", "VGG19", "CLIP")
 SEG_MODELS = ("ResNetUnet", "AttentionUNet", "R2Unet", "R2AttUnet", "CLIPSeg")
 
 
-def load_model_variables(name: str, weights_root: str, seg: bool):
-    """Try orbax best-checkpoint first, then a reference torch .pt state_dict."""
+def load_model_bundle(name: str, weights_root: str, seg: bool):
+    """-> (variables, extra_inputs) or None.
+
+    Tries this framework's orbax best-checkpoint first, then a reference
+    torch .pt state_dict.  For CLIP/CLIPSeg, extra_inputs carries the
+    prompt text features / conditional embedding the image-side forward
+    needs: read from the checkpoint's embedded `aux` when present, else
+    computed offline from the checkpoint's own text tower + the constant
+    prompt token ids (tester.py:559-565,642-648 evaluates every model from
+    weights alone — this is the flax equivalent)."""
     sub = "segmentation_models" if seg else "classification_models"
     save_dir = str(Path(weights_root) / sub)
     if ckpt.best_exists(save_dir, name, seg):
-        return ckpt.load_best(save_dir, name, seg)
+        tree = ckpt.load_best(save_dir, name, seg)
+        aux = tree.pop("aux", None) or {}
+        extra = {k: np.asarray(v) for k, v in aux.items()}
+        if not extra:
+            extra = _extras_from_own_text_tower(name, tree)
+        return tree, extra
     suffix = "best_loss" if seg else "best_acc"
     pt_path = Path(save_dir) / f"{name}_{suffix}.pt"
     if pt_path.exists():
@@ -46,8 +59,36 @@ def load_model_variables(name: str, weights_root: str, seg: bool):
     return None
 
 
-def load_torch_weights(name: str, pt_path) -> Dict:
-    """Convert a reference torch checkpoint (utils/helpers.py:394-400 naming)."""
+def load_model_variables(name: str, weights_root: str, seg: bool):
+    """Back-compat wrapper: variables only (extra inputs dropped)."""
+    bundle = load_model_bundle(name, weights_root, seg)
+    return None if bundle is None else bundle[0]
+
+
+def _extras_from_own_text_tower(name: str, variables) -> Dict:
+    """Compute CLIP/CLIPSeg prompt embeddings from a checkpoint that carries
+    its text tower but no embedded aux arrays."""
+    lname = name.lower()
+    if lname not in ("clip", "clipseg"):
+        return {}
+    from medseg_tpu.interop import text_features as TF
+    from medseg_tpu.interop.prompts import get_prompt_token_ids
+
+    params = variables.get("params", {})
+    if "text" not in params:
+        raise RuntimeError(
+            f"{name} checkpoint has neither embedded prompt embeddings "
+            f"(aux) nor a text tower to compute them from; re-save with a "
+            f"current finetuner or provide extra_inputs")
+    ids = get_prompt_token_ids()
+    if lname == "clip":
+        return {"text_features": TF.clip_text_features(variables, ids["clip"])}
+    return {"cond": TF.clipseg_cond(variables, ids["clipseg"])}
+
+
+def load_torch_weights(name: str, pt_path):
+    """Convert a reference torch checkpoint (utils/helpers.py:394-400 naming);
+    -> (variables, extra_inputs)."""
     import torch
 
     from medseg_tpu import interop
@@ -55,25 +96,27 @@ def load_torch_weights(name: str, pt_path) -> Dict:
     sd = torch.load(str(pt_path), map_location="cpu", weights_only=True)
     lname = name.lower()
     if lname == "resnet18":
-        return interop.convert_resnet_classifier(sd, 18)
+        return interop.convert_resnet_classifier(sd, 18), {}
     if lname == "resnet50":
-        return interop.convert_resnet_classifier(sd, 50)
+        return interop.convert_resnet_classifier(sd, 50), {}
     if lname == "vgg16":
-        return interop.convert_vgg_classifier(sd, 16)
+        return interop.convert_vgg_classifier(sd, 16), {}
     if lname == "vgg19":
-        return interop.convert_vgg_classifier(sd, 19)
+        return interop.convert_vgg_classifier(sd, 19), {}
     if lname == "clip":
-        return interop.convert_clip_classifier(sd)
+        variables, tf = interop.clip_bundle_from_torch_sd(sd)
+        return variables, {"text_features": tf}
     if lname == "resnetunet":
-        return interop.convert_resnet_unet(sd)
+        return interop.convert_resnet_unet(sd), {}
     if lname == "attentionunet":
-        return interop.convert_attention_unet(sd)
+        return interop.convert_attention_unet(sd), {}
     if lname == "r2unet":
-        return interop.convert_r2u_net(sd, attention=False)
+        return interop.convert_r2u_net(sd, attention=False), {}
     if lname == "r2attunet":
-        return interop.convert_r2u_net(sd, attention=True)
+        return interop.convert_r2u_net(sd, attention=True), {}
     if lname == "clipseg":
-        return interop.convert_clipseg(sd)
+        variables, cond = interop.clipseg_bundle_from_torch_sd(sd)
+        return variables, {"cond": cond}
     raise ValueError(name)
 
 
@@ -145,11 +188,14 @@ def evaluate_model(name: str, loader: BatchLoader, variables=None,
     entry = get_model(name)
     seg = entry["task"] == "segmentation"
     if variables is None:
-        variables = load_model_variables(name, cfg.weights_root, seg)
-        if variables is None:
+        bundle = load_model_bundle(name, cfg.weights_root, seg)
+        if bundle is None:
             log(f"\n[WARNING] Weights not found for {name}")
             log(f"Skipping {name}...")
             return None
+        variables, auto_extra = bundle
+        # caller-supplied extras override the checkpoint's embedded ones
+        extra_inputs = {**auto_extra, **(extra_inputs or {})}
     model = entry["factory"]()
     log(f"\n{'=' * 60}")
     log(f"Testing {'Segmentation' if seg else 'Classification'} Model: {name}")

@@ -24,11 +24,13 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from medseg_tpu.core.config import CLASSES, IMG_SIZE, EvalConfig
+from medseg_tpu.core.config import (CLASSES, CLIP_IMG_SIZE, CLIPSEG_IMG_SIZE,
+                                    IMG_SIZE, EvalConfig)
 from medseg_tpu.core.registry import get_model
-from medseg_tpu.eval.harness import load_model_variables
+from medseg_tpu.eval.harness import load_model_bundle
 from medseg_tpu.infer.overlay import red_overlay
 from medseg_tpu.ops.augment import preprocess_eval_batch
+from medseg_tpu.ops.clip_prep import clip_preprocess
 
 
 def batch_predict(
@@ -46,28 +48,42 @@ def batch_predict(
 
     cls_entry = get_model(cls_name)
     cls_model = cls_entry["factory"]()
-    cls_vars = load_model_variables(cls_name, cfg.weights_root, seg=False)
-    if cls_vars is None:
+    cls_bundle = load_model_bundle(cls_name, cfg.weights_root, seg=False)
+    if cls_bundle is None:
         raise FileNotFoundError(f"no weights for {cls_name} under "
                                 f"{cfg.weights_root}")
+    cls_vars, cls_extra = cls_bundle
     seg_model = get_model(seg_name)["factory"]()
-    seg_vars = load_model_variables(seg_name, cfg.weights_root, seg=True)
-    if seg_vars is None:
+    seg_bundle = load_model_bundle(seg_name, cfg.weights_root, seg=True)
+    if seg_bundle is None:
         log(f"[WARNING] no weights for {seg_name}; segmentation skipped")
+        seg_vars, seg_extra = None, {}
+    else:
+        seg_vars, seg_extra = seg_bundle
+
+    is_clip = cls_name.lower() == "clip"
+    is_clipseg = seg_name.lower() == "clipseg"
 
     @jax.jit
     def cls_step(images_u8):
-        x, _ = preprocess_eval_batch(images_u8)
-        logits = cls_model.apply(cls_vars, x)
+        if is_clip:
+            x = clip_preprocess(images_u8, CLIP_IMG_SIZE)
+        else:
+            x, _ = preprocess_eval_batch(images_u8)
+        logits = cls_model.apply(cls_vars, x, **cls_extra)
         probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
         return jnp.argmax(probs, axis=-1), jnp.max(probs, axis=-1)
 
     @jax.jit
     def seg_step(images_u8):
-        x, _ = preprocess_eval_batch(images_u8)
-        logits = seg_model.apply(seg_vars, x)
-        if logits.ndim == 3:
-            logits = logits[..., None]
+        if is_clipseg:
+            x = clip_preprocess(images_u8, CLIPSEG_IMG_SIZE)
+            logits = seg_model.apply(seg_vars, x, **seg_extra)[..., None]
+        else:
+            x, _ = preprocess_eval_batch(images_u8)
+            logits = seg_model.apply(seg_vars, x, **seg_extra)
+            if logits.ndim == 3:
+                logits = logits[..., None]
         return jax.nn.sigmoid(logits.astype(jnp.float32))[..., 0]
 
     out_dir = Path(output_dir) if output_dir else None

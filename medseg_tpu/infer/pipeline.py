@@ -36,7 +36,7 @@ from medseg_tpu.core.config import (
     EvalConfig,
 )
 from medseg_tpu.core.registry import get_model
-from medseg_tpu.eval.harness import load_model_variables
+from medseg_tpu.eval.harness import load_model_bundle
 from medseg_tpu.infer.overlay import red_overlay
 from medseg_tpu.ops.augment import preprocess_eval_batch
 from medseg_tpu.ops.clip_prep import clip_preprocess
@@ -57,6 +57,22 @@ class Pipeline:
         self._seg: Optional[Tuple[str, Dict, object]] = None
 
     # ------------------------------------------------------------------
+    @staticmethod
+    def input_grid(name: str) -> Tuple[int, str]:
+        """(size, resample) each family's jitted program expects — the
+        original image is resized ONCE, straight to this grid, matching the
+        reference's per-family preprocessing (VGG: 224 torchvision resize,
+        pipeline.py:161-172; CLIP/CLIPSeg: their processors' bicubic;
+        others: the 256 Albumentations transform, pipeline.py:186-193)."""
+        lname = name.lower()
+        if lname == "clip":
+            return CLIP_IMG_SIZE, "bicubic"
+        if lname == "clipseg":
+            return CLIPSEG_IMG_SIZE, "bicubic"
+        if lname.startswith("vgg"):
+            return 224, "bilinear"
+        return IMG_SIZE, "bilinear"
+
     def _build_cls_fn(self, name: str, variables):
         model = get_model(name)["factory"]()
         lname = name.lower()
@@ -64,22 +80,14 @@ class Pipeline:
         if lname == "clip":
             if self.text_features is None:
                 raise ValueError(
-                    "Pipeline(text_features=...) is required for the CLIP "
-                    "classifier (precomputed normalized prompt embeddings)")
+                    "CLIP needs text_features: none embedded in the "
+                    "checkpoint and none passed to Pipeline(text_features=...)")
             tf = jnp.asarray(self.text_features)
 
             @jax.jit
             def fn(images_u8):
                 x = clip_preprocess(images_u8, CLIP_IMG_SIZE)
                 return model.apply(variables, x, tf)
-        elif lname.startswith("vgg"):
-            # VGG serving path uses 224 torchvision-style resize+normalize
-            # (pipeline.py:161-172).
-            @jax.jit
-            def fn(images_u8):
-                x = resize_bilinear(images_u8, 224, 224)
-                x, _ = preprocess_eval_batch(jnp.clip(x, 0, 255))
-                return model.apply(variables, x)
         else:
             @jax.jit
             def fn(images_u8):
@@ -93,8 +101,8 @@ class Pipeline:
         if name.lower() == "clipseg":
             if self.clipseg_cond is None:
                 raise ValueError(
-                    "Pipeline(clipseg_cond=...) is required for CLIPSeg "
-                    "(precomputed conditional text embedding)")
+                    "CLIPSeg needs a conditional embedding: none embedded in "
+                    "the checkpoint and none passed to Pipeline(clipseg_cond=...)")
             cond = jnp.asarray(self.clipseg_cond)
 
             @jax.jit
@@ -117,21 +125,28 @@ class Pipeline:
     def _load_models(self, classification_name: str, segmentation_name: str):
         if self._cls is None or self._cls[0].lower() != classification_name.lower():
             name = classification_name
-            variables = load_model_variables(name, self.cfg.weights_root, seg=False)
-            if variables is None:
+            bundle = load_model_bundle(name, self.cfg.weights_root, seg=False)
+            if bundle is None:
                 print("Weights file not found. Using fresh-initialized weights only.")
                 model = get_model(name)["factory"]()
                 dummy = self._dummy_input(name)
                 variables = model.init(jax.random.key(0), *dummy)
+            else:
+                variables, extra = bundle
+                if self.text_features is None and "text_features" in extra:
+                    self.text_features = extra["text_features"]
             self._cls = (name, variables, self._build_cls_fn(name, variables))
             print(f"Successfully loaded Classification Model: {name}")
 
         if self._seg is None or self._seg[0].lower() != segmentation_name.lower():
             name = segmentation_name
             try:
-                variables = load_model_variables(name, self.cfg.weights_root, seg=True)
-                if variables is None:
+                bundle = load_model_bundle(name, self.cfg.weights_root, seg=True)
+                if bundle is None:
                     raise FileNotFoundError(name)
+                variables, extra = bundle
+                if self.clipseg_cond is None and "cond" in extra:
+                    self.clipseg_cond = extra["cond"]
                 self._seg = (name, variables, self._build_seg_fn(name, variables))
                 print(f"Successfully loaded Segmentation Model: {name}")
             except Exception as e:
@@ -149,6 +164,18 @@ class Pipeline:
         return (jnp.zeros((1, size, size, 3), jnp.float32),)
 
     # ------------------------------------------------------------------
+    @staticmethod
+    def _to_grid(batch_u8, size: int, method: str):
+        """uint8 [1,H,W,3] -> uint8 [1,size,size,3], single resample."""
+        if batch_u8.shape[1] == size and batch_u8.shape[2] == size:
+            return batch_u8
+        if method == "bicubic":
+            x = jax.image.resize(batch_u8.astype(jnp.float32),
+                                 (batch_u8.shape[0], size, size, 3), "bicubic")
+        else:
+            x = resize_bilinear(batch_u8, size, size)
+        return jnp.clip(jnp.round(x), 0, 255).astype(jnp.uint8)
+
     def _predict_classification(self, images_u8) -> Tuple[str, float]:
         if self._cls is None:
             return "FATAL ERROR: Classification Model Not Loaded", 0.0
@@ -178,12 +205,13 @@ class Pipeline:
         cls_name = self._cls[0] if self._cls else "ResNet50"
         self._load_models(cls_name, segmentation_model_name)
 
-        # 256x256 device-side resize feeds every family's jitted preprocessor.
+        # The original is resized once, directly to each family's grid (no
+        # intermediate 256 canvas — parity with reference pipeline.py's
+        # per-family preprocessing).  The resize is a tiny per-input-shape
+        # program; the model programs compile once per fixed grid.
         batch = jnp.asarray(image[None])
-        batch256 = jnp.clip(resize_bilinear(batch, IMG_SIZE, IMG_SIZE), 0, 255
-                            ).astype(jnp.uint8)
-
-        prediction, confidence = self._predict_classification(batch256)
+        cls_in = self._to_grid(batch, *self.input_grid(self._cls[0]))
+        prediction, confidence = self._predict_classification(cls_in)
         analysis = f"Diagnosis: {prediction}\nConfidence: {confidence:.2f}%\n"
         output_img = None
 
@@ -194,7 +222,8 @@ class Pipeline:
                          "final diagnosis. The model suggests no severe "
                          "COVID-19 pathology.")
         else:
-            mask = self._predict_segmentation(batch256)
+            seg_in = self._to_grid(batch, *self.input_grid(self._seg[0]))
+            mask = self._predict_segmentation(seg_in)
             if mask is not None:
                 output_img = red_overlay(original, mask, overlay_opacity)
                 analysis += ("\nInfection areas have been highlighted in red "

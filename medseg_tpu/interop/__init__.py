@@ -11,6 +11,12 @@ from medseg_tpu.interop.hf_clip import (  # noqa: F401
     convert_clip_classifier,
     convert_clipseg,
 )
+from medseg_tpu.interop.text_features import (  # noqa: F401
+    clip_bundle_from_torch_sd,
+    clip_text_features,
+    clipseg_bundle_from_torch_sd,
+    clipseg_cond,
+)
 from medseg_tpu.interop.export_torch import (  # noqa: F401
     export_attention_unet,
     export_r2u_net,

@@ -27,11 +27,18 @@ def _ckpt_dir(save_dir: str, name: str, seg: bool) -> Path:
 
 
 def save_best(save_dir: str, name: str, seg: bool, params, batch_stats,
-              meta: Optional[Dict] = None):
+              meta: Optional[Dict] = None, aux: Optional[Dict] = None):
+    """aux: small non-parameter arrays the model needs at inference time
+    (e.g. CLIP's precomputed text_features / CLIPSeg's conditional embedding)
+    — embedding them makes the checkpoint self-describing, so eval/serve can
+    drive CLIP/CLIPSeg offline with no tokenizer assets (tester.py:559-565
+    evaluates every model from weights alone)."""
     path = _ckpt_dir(save_dir, name, seg)
     ckptr = ocp.StandardCheckpointer()
     tree = {"params": jax.device_get(params),
             "batch_stats": jax.device_get(batch_stats)}
+    if aux:
+        tree["aux"] = {k: np.asarray(v) for k, v in aux.items()}
     ckptr.save(path, tree, force=True)
     ckptr.wait_until_finished()
     if meta is not None:

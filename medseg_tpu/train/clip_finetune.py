@@ -108,8 +108,11 @@ def finetune_clip(
             best = val_acc
             if save:
                 save_dir = str(cfg.save_root) + "/classification_models"
+                # embed the prompt features so eval/serve can drive this
+                # checkpoint offline (no tokenizer assets needed)
                 ckpt.save_best(save_dir, "CLIP", False, params, {},
-                               meta={"epoch": epoch, "score": val_acc})
+                               meta={"epoch": epoch, "score": val_acc},
+                               aux={"text_features": np.asarray(tf, np.float32)})
                 log(f"Saved best model (Acc: {val_acc:.2f}%)")
         if stopper.should_stop:
             log(f"Early stopping at epoch {epoch}. Best accuracy: {best:.2f}%")

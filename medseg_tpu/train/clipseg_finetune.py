@@ -129,8 +129,11 @@ def finetune_clipseg(
             best = val_dice
             if save:
                 save_dir = str(cfg.save_root) + "/segmentation_models"
+                # embed the conditional embedding so eval/serve can drive
+                # this checkpoint offline (no tokenizer assets needed)
                 ckpt.save_best(save_dir, "CLIPSeg", True, params, {},
-                               meta={"epoch": epoch, "dice": val_dice})
+                               meta={"epoch": epoch, "dice": val_dice},
+                               aux={"cond": np.asarray(cond, np.float32)})
                 log(f"Saved best model (Dice: {val_dice:.4f})")
         if stopper.should_stop:
             log(f"Early stopping at epoch {epoch}. Best dice: {best:.4f}")

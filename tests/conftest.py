@@ -10,6 +10,9 @@ first backend initialization.
 import os
 
 os.environ["JAX_PLATFORMS"] = "cpu"
+# zero-egress build: make HF from_pretrained fail fast instead of hanging
+os.environ.setdefault("HF_HUB_OFFLINE", "1")
+os.environ.setdefault("TRANSFORMERS_OFFLINE", "1")
 flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
