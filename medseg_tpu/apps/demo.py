@@ -3,25 +3,47 @@
 Same UI surface: classification/segmentation model dropdowns (defaults
 ResNet18 / ResNetUnet), overlay-opacity slider, upload + Analyze/Clear
 buttons, confidence CSS classes at the >90 / >70 thresholds, COVID-only
-overlay visibility.  Gated on gradio being installed.
+overlay visibility (app.py:138-162), and the full design.css stylesheet.
+The event handlers are built by `make_handlers` against an injectable
+gradio module so the wiring is unit-testable without gradio installed.
 """
 
 from __future__ import annotations
 
+from pathlib import Path
+
 from medseg_tpu.core.config import EvalConfig
 
-CSS = """
-.heading { text-align: center; }
-.results-container { border-radius: 8px; }
-.primary-button { font-weight: bold; }
-.confidence-high { color: #0a7f2e; }
-.confidence-medium { color: #b57f00; }
-.confidence-low { color: #b00020; }
-.upload-image { border: 1px dashed #999; }
-"""
+# Selector-for-selector port of reference demo/design.css:1-101.
+CSS = (Path(__file__).with_name("design.css")).read_text()
 
 CLS_CHOICES = ["ResNet18", "ResNet50", "VGG16", "VGG19", "CLIP"]
 SEG_CHOICES = ["ResNetUnet", "AttentionUNet", "R2Unet", "R2AttUnet", "CLIPSeg"]
+
+
+def make_handlers(processor, gr):
+    """(handle, clear_all) event callbacks over an injectable `gr` module
+    (anything exposing gr.update).  Mirrors reference demo/app.py:138-162:
+    confidence classes at >90 / >70, overlay visible only for COVID."""
+
+    def handle(image, cls_name, seg_name, op):
+        processor._load_models(cls_name, seg_name)
+        pred, conf, overlay, text = processor.process_image(image, seg_name,
+                                                            overlay_opacity=op)
+        conf_class = ("confidence-high" if conf > 90 else
+                      "confidence-medium" if conf > 70 else "confidence-low")
+        is_covid = pred == "COVID" and overlay is not None
+        return (pred,
+                gr.update(value=f"Confidence: {conf:.2f}%",
+                          elem_classes=[conf_class]),
+                gr.update(value=overlay, visible=is_covid),
+                gr.update(value=text, visible=True))
+
+    def clear_all():
+        return (None, None, gr.update(value=None, visible=False),
+                gr.update(value="", visible=False))
+
+    return handle, clear_all
 
 
 def create_interface(cfg: EvalConfig = EvalConfig()):
@@ -78,22 +100,7 @@ def create_interface(cfg: EvalConfig = EvalConfig()):
                 "3. Choose 'Analyze Image'.\n"
                 "4. For COVID cases, the segmentation mask is overlaid in red.")
 
-        def handle(image, cls_name, seg_name, op):
-            processor._load_models(cls_name, seg_name)
-            pred, conf, overlay, text = processor.process_image(image, seg_name,
-                                                                overlay_opacity=op)
-            conf_class = ("confidence-high" if conf > 90 else
-                          "confidence-medium" if conf > 70 else "confidence-low")
-            is_covid = pred == "COVID" and overlay is not None
-            return (pred,
-                    gr.update(value=f"Confidence: {conf:.2f}%",
-                              elem_classes=[conf_class]),
-                    gr.update(value=overlay, visible=is_covid),
-                    gr.update(value=text, visible=True))
-
-        def clear_all():
-            return (None, None, gr.update(value=None, visible=False),
-                    gr.update(value="", visible=False))
+        handle, clear_all = make_handlers(processor, gr)
 
         submit.click(handle, [input_image, cls_dd, seg_dd, opacity],
                      [diagnosis, confidence, output_image, details])

@@ -25,6 +25,24 @@ FOLDER_TO_REMOVE = "Lung_Opacity"
 RENAMES = (("Viral Pneumonia", "Non-COVID"), ("Normal", "Healthy"))
 
 
+def organize_downloaded_tree(src: Path, dest: Path) -> None:
+    """Pure-filesystem half of the install: move the downloaded tree into
+    `dest`, apply the class renames, drop the Lung_Opacity class and the
+    metadata files (install_dataset.py:32-54 semantics).  Split from the
+    kagglehub download so it is testable offline."""
+    for item in Path(src).iterdir():
+        shutil.move(str(item), str(dest / item.name))
+    for old, new in RENAMES:
+        os.rename(dest / old, dest / new)
+    shutil.rmtree(dest / FOLDER_TO_REMOVE, ignore_errors=True)
+    for f in FILES_TO_REMOVE:
+        try:
+            os.remove(dest / f)
+        except FileNotFoundError:
+            pass
+    shutil.rmtree(src, ignore_errors=True)
+
+
 def install_dataset(dest_root: str = "dataset") -> None:
     dest = Path(dest_root).absolute()
     if dest.is_dir() and any(dest.iterdir()):
@@ -42,16 +60,5 @@ def install_dataset(dest_root: str = "dataset") -> None:
     dest.mkdir(parents=True, exist_ok=True)
     cache = kagglehub.dataset_download(
         "tawsifurrahman/covid19-radiography-database")
-    src = Path(cache) / MAIN_DATA_FOLDER
-    for item in src.iterdir():
-        shutil.move(str(item), str(dest / item.name))
-    for old, new in RENAMES:
-        os.rename(dest / old, dest / new)
-    shutil.rmtree(dest / FOLDER_TO_REMOVE, ignore_errors=True)
-    for f in FILES_TO_REMOVE:
-        try:
-            os.remove(dest / f)
-        except FileNotFoundError:
-            pass
-    shutil.rmtree(src, ignore_errors=True)
+    organize_downloaded_tree(Path(cache) / MAIN_DATA_FOLDER, dest)
     print("DONE!")

@@ -33,11 +33,12 @@ class ReduceLROnPlateau:
         self.num_bad = 0
 
     def _is_better(self, score: float) -> bool:
+        # torch's rel-threshold formula, unconditionally (torch applies it
+        # regardless of best's sign; best starts at -/+inf so the first
+        # finite score always updates).
         if self.mode == "max":
-            return score > self.best * (1.0 + self.threshold) if self.best > 0 \
-                else score > self.best + self.threshold
-        return score < self.best * (1.0 - self.threshold) if self.best > 0 \
-            else score < self.best - self.threshold
+            return score > self.best * (1.0 + self.threshold)
+        return score < self.best * (1.0 - self.threshold)
 
     def step(self, score: float) -> float:
         """Record an epoch score; returns the (possibly reduced) LR."""
