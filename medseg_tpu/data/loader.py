@@ -20,7 +20,14 @@ from medseg_tpu.data.packed import PackedDataset
 class BatchLoader:
     def __init__(self, ds: PackedDataset, batch_size: int, *, shuffle: bool,
                  seed: int = 0, drop_last: bool = False, sharding=None,
-                 indices: Optional[np.ndarray] = None):
+                 indices: Optional[np.ndarray] = None,
+                 device_cache: bool = False,
+                 device_cache_budget: int = 8 << 30):
+        """device_cache: push the packed uint8 arrays to the device ONCE and
+        serve batches as on-device gathers — removes the per-step 25MB H2D
+        transfer from the training critical path entirely (the packed COVID
+        dataset is ~4GB u8, comfortably HBM-resident on a 16GB v5e chip).
+        Ignored when a mesh sharding is set or the arrays exceed the budget."""
         self.ds = ds
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -28,6 +35,25 @@ class BatchLoader:
         self.sharding = sharding
         self.indices = np.arange(len(ds)) if indices is None else np.asarray(indices)
         self._rng = np.random.default_rng(seed)
+        self._dev = None
+        nbytes = ds.images.nbytes + (ds.masks.nbytes if ds.masks is not None
+                                     else ds.labels.nbytes)
+        self.device_cache = (device_cache and sharding is None
+                             and nbytes <= device_cache_budget)
+
+    def _cached(self):
+        if self._dev is None:
+            import jax.numpy as jnp
+
+            images = jax.device_put(np.ascontiguousarray(self.ds.images))
+            if self.ds.masks is not None:
+                target = jax.device_put(np.ascontiguousarray(self.ds.masks))
+            else:
+                target = jax.device_put(np.ascontiguousarray(self.ds.labels))
+            self._gather = jax.jit(
+                lambda arr, idx: jnp.take(arr, idx, axis=0, unique_indices=True))
+            self._dev = (images, target)
+        return self._dev
 
     def __len__(self):
         n = len(self.indices)
@@ -49,6 +75,12 @@ class BatchLoader:
         bs = self.batch_size
         n = len(order)
         stop = (n // bs) * bs if self.drop_last else n
+        if self.device_cache:
+            images_d, target_d = self._cached()
+            for start in range(0, stop, bs):
+                idx = jax.device_put(np.sort(order[start:start + bs]))
+                yield self._gather(images_d, idx), self._gather(target_d, idx)
+            return
         for start in range(0, stop, bs):
             idx = np.sort(order[start:start + bs])  # sorted gather is faster on memmaps
             images = self._put(np.ascontiguousarray(self.ds.images[idx]))

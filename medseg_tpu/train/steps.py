@@ -65,10 +65,20 @@ def init_state(model, variables, optimizer) -> TrainState:
     )
 
 
-def make_cls_train_step(model, optimizer, label_smoothing: float = 0.1):
-    """Returns jitted (state, images, labels, rng) -> (state, loss, correct)."""
+def make_cls_train_step(model, optimizer, label_smoothing: float = 0.1,
+                        prep=None):
+    """Returns jitted (state, images, labels, rng) -> (state, loss, correct).
 
-    def step(state: TrainState, images, labels, rng):
+    prep: optional (rng, images, targets) -> (x, targets) preprocessing
+    (the device augmentation chain) fused INTO the step program — one
+    dispatch per step instead of two, and the augmented batch never
+    round-trips through HBM between programs.  With prep, the step takes an
+    extra aug_rng arg so the caller's key stream matches the unfused form."""
+
+    def step(state: TrainState, images, labels, rng, aug_rng=None):
+        if prep is not None:
+            images, labels = prep(aug_rng, images, labels)
+
         def loss_fn(params):
             out, mutated = model.apply(
                 {"params": params, "batch_stats": state.batch_stats},
@@ -89,15 +99,19 @@ def make_cls_train_step(model, optimizer, label_smoothing: float = 0.1):
     return jax.jit(step, donate_argnums=(0,))
 
 
-def make_seg_train_step(model, optimizer, loss_name: str = "bce"):
-    """Returns jitted (state, images, masks, rng) -> (state, loss)."""
+def make_seg_train_step(model, optimizer, loss_name: str = "bce", prep=None):
+    """Returns jitted (state, images, masks, rng) -> (state, loss).
+    prep: optional fused preprocessing, as in make_cls_train_step."""
     loss_fns = {
         "bce": losses.bce_with_logits,
         "combined": losses.combined_loss,
     }
     loss_fn_inner = loss_fns[loss_name]
 
-    def step(state: TrainState, images, masks, rng):
+    def step(state: TrainState, images, masks, rng, aug_rng=None):
+        if prep is not None:
+            images, masks = prep(aug_rng, images, masks)
+
         def loss_fn(params):
             out, mutated = model.apply(
                 {"params": params, "batch_stats": state.batch_stats},

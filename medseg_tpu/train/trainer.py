@@ -50,9 +50,12 @@ class TrainResult:
 
 
 def _make_aug_fns(seg: bool, aug_cfg: AugmentConfig, compute_dtype):
-    """Device-side train/eval preprocessing wrappers (uint8 -> model input)."""
+    """Device-side train/eval preprocessing (uint8 -> model input).
 
-    @jax.jit
+    train_prep is NOT jitted here: it fuses into the train-step program
+    (steps.make_*_train_step prep hook), so each step is ONE dispatch and
+    the augmented batch never materializes between programs."""
+
     def train_prep(rng, images, targets):
         if seg:
             x, m = augment_batch(rng, images, targets, cfg=aug_cfg,
@@ -134,13 +137,21 @@ def train_model(
             resume_extras = meta
 
     in_stage2 = (not seg) and start_epoch > cfg.stage1_epochs
+    # Which stage's optimizer wrote the resume checkpoint?  At the stage
+    # boundary (interrupted right after epoch stage1_epochs) the saved
+    # opt_state is still the stage-1 masked tree, whose leaf count differs
+    # from the stage-2 optimizer's — restoring it would fail, and a fresh
+    # run re-inits the optimizer at the transition anyway (helpers.py:295-311),
+    # so we re-init instead of unflattening in that case.
+    saved_stage = int(resume_extras.get("stage", 2 if in_stage2 else 1))
+    resume_at_stage_boundary = in_stage2 and saved_stage == 1
 
     # --- optimizer / stage setup ------------------------------------------
     if seg:
         mask = mask_from_predicate(variables["params"], finetune_filter(name))
         optimizer = S.build_optimizer(cfg.lr, cfg.weight_decay,
                                       cfg.grad_clip_norm, mask)
-        train_step = S.make_seg_train_step(model, optimizer)
+        train_step = S.make_seg_train_step(model, optimizer, prep=train_prep)
         eval_step = S.make_seg_eval_step(model)
         log(f"Training Segmentation model (all layers unfrozen) with LR: {cfg.lr}")
     else:
@@ -153,7 +164,8 @@ def train_model(
             log(f"--- STAGE 1: Feature Extraction (Epochs 1-{cfg.stage1_epochs}) ---")
         optimizer = S.build_optimizer(lr0, cfg.weight_decay,
                                       cfg.grad_clip_norm, mask1)
-        train_step = S.make_cls_train_step(model, optimizer, cfg.label_smoothing)
+        train_step = S.make_cls_train_step(model, optimizer, cfg.label_smoothing,
+                                           prep=train_prep)
         eval_step = S.make_cls_eval_step(model, cfg.label_smoothing)
 
     state = S.init_state(model, variables, optimizer)
@@ -166,12 +178,19 @@ def train_model(
             float(resume_extras.get("plateau_lr", cfg.lr)), "max",
             cfg.plateau_factor, cfg.plateau_patience)
     if restored_tree is not None:
-        state = state.replace(
-            params=jax.tree.map(jnp.asarray, restored_tree["params"]),
-            batch_stats=jax.tree.map(jnp.asarray, restored_tree["batch_stats"]),
-            opt_state=jax.tree_util.tree_unflatten(
+        params = jax.tree.map(jnp.asarray, restored_tree["params"])
+        if resume_at_stage_boundary:
+            opt_state = optimizer.init(params)
+            log(f"Resume crosses the stage 1->2 boundary: re-initialized the "
+                f"stage-2 optimizer (fresh AdamW, as the transition would).")
+        else:
+            opt_state = jax.tree_util.tree_unflatten(
                 jax.tree_util.tree_structure(state.opt_state),
-                jax.tree_util.tree_leaves(restored_tree["opt_state"])),
+                jax.tree_util.tree_leaves(restored_tree["opt_state"]))
+        state = state.replace(
+            params=params,
+            batch_stats=jax.tree.map(jnp.asarray, restored_tree["batch_stats"]),
+            opt_state=opt_state,
             step=jnp.asarray(restored_tree["step"]))
         best_score = float(resume_extras["best_score"])
         stopper.best = best_score
@@ -190,7 +209,8 @@ def train_model(
             mask2 = all_trainable(state.params)
             optimizer = S.build_optimizer(cfg.lr, cfg.weight_decay,
                                           cfg.grad_clip_norm, mask2)
-            train_step = S.make_cls_train_step(model, optimizer, cfg.label_smoothing)
+            train_step = S.make_cls_train_step(model, optimizer, cfg.label_smoothing,
+                                               prep=train_prep)
             state = state.replace(opt_state=optimizer.init(state.params))
             plateau = ReduceLROnPlateau(cfg.lr, "max", cfg.plateau_factor,
                                         cfg.plateau_patience)
@@ -206,38 +226,46 @@ def train_model(
             lr = plateau.lr
         state = state.replace(opt_state=S.set_learning_rate(state.opt_state, lr))
 
-        # --- train epoch ---------------------------------------------------
-        running_loss = 0.0
-        correct = 0
+        # --- train epoch -----------------------------------------------
+        # Stats accumulate ON DEVICE and are fetched once per epoch: a
+        # per-step float(loss) would sync the (demand-driven, tunneled)
+        # runtime every step and serialize dispatch against execution —
+        # the dominant cost of the r1 training loop (PERF.md).
+        loss_acc = jnp.zeros((), jnp.float32)
+        corr_acc = jnp.zeros((), jnp.int32)
         n_seen = 0
         for images, targets in train_loader:
             rng, aug_rng, drop_rng = jax.random.split(rng, 3)
-            x, t = train_prep(aug_rng, images, targets)
             if seg:
-                state, loss = train_step(state, x, t, drop_rng)
+                state, loss = train_step(state, images, targets, drop_rng,
+                                         aug_rng)
             else:
-                state, loss, corr = train_step(state, x, t, drop_rng)
-                correct += int(corr)
-            running_loss += float(loss) * x.shape[0]
-            n_seen += x.shape[0]
+                state, loss, corr = train_step(state, images, targets,
+                                               drop_rng, aug_rng)
+                corr_acc = corr_acc + corr
+            loss_acc = loss_acc + loss * images.shape[0]
+            n_seen += images.shape[0]
+        running_loss = float(loss_acc)
+        correct = int(corr_acc)
 
-        # --- validation ----------------------------------------------------
-        val_loss = 0.0
-        val_metric = 0.0
+        # --- validation --------------------------------------------------
+        vloss_acc = jnp.zeros((), jnp.float32)
+        vmetric_acc = jnp.zeros((), jnp.float32)
         n_batches = 0
         n_val_seen = 0
         for images, targets in val_loader:
             x, t = eval_prep(images, targets)
             if seg:
                 loss_sum, iou = eval_step(state.params, state.batch_stats, x, t)
-                val_metric += float(iou)
+                vmetric_acc = vmetric_acc + iou
             else:
                 loss_sum, corr, _ = eval_step(state.params, state.batch_stats, x, t)
-                val_metric += int(corr)
-            val_loss += float(loss_sum)
+                vmetric_acc = vmetric_acc + corr
+            vloss_acc = vloss_acc + loss_sum
             n_batches += 1
             n_val_seen += x.shape[0]
-        val_loss /= max(1, n_val_seen)
+        val_loss = float(vloss_acc) / max(1, n_val_seen)
+        val_metric = float(vmetric_acc)
 
         # --- scoring, logging (helpers.py:364-392) -------------------------
         if seg:
@@ -263,7 +291,7 @@ def train_model(
                                state.batch_stats,
                                meta={"epoch": epoch, "score": float(score)})
         if save:
-            extras = {}
+            extras = {"stage": 2 if (not seg and epoch > cfg.stage1_epochs) else 1}
             if plateau is not None:
                 extras["plateau_lr"] = plateau.lr
             ckpt.save_resume(save_dir, name, state, epoch, float(best_score),

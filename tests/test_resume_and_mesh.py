@@ -35,6 +35,28 @@ def test_resume_continues_from_saved_epoch(tmp_path):
     assert res.epochs_run == 4
 
 
+def test_resume_across_stage_boundary(tmp_path):
+    """Interrupt exactly after the last stage-1 epoch: the saved opt_state is
+    the stage-1 masked tree, so resume must re-init the stage-2 optimizer
+    instead of unflattening mismatched leaves (ADVICE r1, trainer.py)."""
+    ds = synthetic_cls(n=16, img_size=32)
+    tr = BatchLoader(ds, 8, shuffle=True, indices=np.arange(12))
+    va = BatchLoader(ds, 4, shuffle=False, indices=np.arange(12, 16))
+    cfg = TrainConfig(epochs=1, stage1_epochs=1, lr=1e-3, stage1_lr=1e-3,
+                      save_root=str(tmp_path), compute_dtype="float32")
+    train_model("ResNet18", tr, va, cfg, AUG, save=True, log=lambda s: None)
+
+    cfg2 = TrainConfig(epochs=3, stage1_epochs=1, lr=1e-3, stage1_lr=1e-3,
+                       save_root=str(tmp_path), compute_dtype="float32")
+    logs = []
+    res = train_model("ResNet18", tr, va, cfg2, AUG, save=True, resume=True,
+                      log=logs.append)
+    text = "\n".join(logs)
+    assert "stage 1->2 boundary" in text
+    assert "Ep2" in text and "Ep1:" not in text
+    assert res.epochs_run == 3
+
+
 def test_data_parallel_training_on_mesh(tmp_path):
     mesh = data_parallel_mesh()
     assert mesh.size >= 8
