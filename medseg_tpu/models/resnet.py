@@ -18,11 +18,38 @@ from __future__ import annotations
 
 from typing import Sequence, Type
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
 from medseg_tpu.core.registry import register_model
 from medseg_tpu.nn.blocks import ClassifierHead, global_avg_pool, max_pool
+
+
+class FoldedStem(nn.Module):
+    """The 7x7/s2 stem evaluated on space-to-depth input.
+
+    3-input-channel convs waste the 256-lane MXU (the stem alone was 58% of
+    the r1 ResNet18 forward, PERF.md); in s2d layout ([B,H/2,W/2,12], channel
+    order c*4+dy*2+dx — ops.image.space_to_depth) the SAME canonical
+    (7,7,3,64) `kernel` param is zero-padded to 8x8 and refolded at apply
+    time into a (4,4,12,64) stride-1 conv.  Param tree and numerics are
+    identical to the standard stem, so checkpoints/converters are untouched.
+    """
+
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x_s2d):
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (7, 7, 3, 64))
+        kp = jnp.pad(kernel, ((1, 0), (1, 0), (0, 0), (0, 0)))
+        k = kp.reshape(4, 2, 4, 2, 3, 64).transpose(0, 2, 4, 1, 3, 5)
+        k = k.reshape(4, 4, 12, 64).astype(self.dtype)
+        return jax.lax.conv_general_dilated(
+            x_s2d.astype(self.dtype), k, window_strides=(1, 1),
+            padding=((2, 1), (2, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
 
 
 class BasicBlock(nn.Module):
@@ -94,11 +121,15 @@ class ResNetEncoder(nn.Module):
     block: Type[nn.Module]
     stage_sizes: Sequence[int]
     dtype: jnp.dtype = jnp.float32
+    stem_s2d: bool = False  # expect space-to-depth input (FoldedStem)
 
     @nn.compact
     def __call__(self, x, train: bool = False, taps: bool = False):
-        x = nn.Conv(64, (7, 7), strides=(2, 2), padding=((3, 3), (3, 3)),
-                    use_bias=False, dtype=self.dtype, name="conv1")(x)
+        if self.stem_s2d:
+            x = FoldedStem(dtype=self.dtype, name="conv1")(x)
+        else:
+            x = nn.Conv(64, (7, 7), strides=(2, 2), padding=((3, 3), (3, 3)),
+                        use_bias=False, dtype=self.dtype, name="conv1")(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                          epsilon=1e-5, dtype=self.dtype, name="bn1")(x)
         e1 = nn.relu(x)
@@ -130,11 +161,12 @@ class ResNetClassifier(nn.Module):
     num_classes: int = 3
     dropout: float = 0.5
     dtype: jnp.dtype = jnp.float32
+    stem_s2d: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         x = ResNetEncoder(self.block, self.stage_sizes, dtype=self.dtype,
-                          name="encoder")(x, train)
+                          stem_s2d=self.stem_s2d, name="encoder")(x, train)
         x = global_avg_pool(x).astype(jnp.float32)
         return ClassifierHead(self.num_classes, self.dropout, name="head")(x, train)
 

@@ -90,6 +90,7 @@ def augment_batch(
     cfg: AugmentConfig = AugmentConfig(),
     out_dtype=jnp.float32,
     fast_warp: bool = True,
+    s2d: bool = False,
 ) -> Tuple[jax.Array, Optional[jax.Array]]:
     """Full train-time augmentation for a uint8 NHWC batch.
 
@@ -97,19 +98,31 @@ def augment_batch(
     masks:  uint8 [B,H,W] binary 0/255 masks, or None for classification.
     Returns (normalized float images [B,H,W,3], masks float [B,H,W,1] in [0,1]).
 
+    s2d=True emits images in space-to-depth layout [B,H/2,W/2,12] for
+    models.resnet.FoldedStem: on the Pallas path the s2d shuffle replaces
+    the planar->NHWC output transpose (same cost class, so the stem savings
+    are kept rather than spent on an extra layout pass — PERF.md stem lever).
+
     fast_warp selects the gather-free two-pass warp — on TPU the
     VMEM-resident Pallas kernel (20k img/s at 256px/B=256 vs 221 img/s for
     the gather warp), elsewhere the XLA formulation; both are
     distribution-equivalent to the exact warp (sub-pixel smoothing only).
     Set False for the bit-exact single-pass gather warp.
     """
-    from medseg_tpu.ops.warp_fast import warp_affine_fast
+    from medseg_tpu.ops.warp_fast import (fast_warp_supports,
+                                          photometric_threshold_ok,
+                                          warp_affine_fast)
 
     b, h, w, _ = images.shape
     params = sample_augment_params(rng, b, cfg)
     mats = _combined_matrices(params, h, w)
 
-    use_pallas = jax.devices()[0].platform == "tpu"
+    # The fast warp's (PAD, MAX_SHIFT) envelope and the Pallas mask
+    # threshold trick are only valid for bounded configs; widened limits
+    # fall back to the exact gather warp instead of silently clipping.
+    fast_warp = fast_warp and fast_warp_supports(cfg, h, w)
+    use_pallas = (jax.devices()[0].platform == "tpu"
+                  and (masks is None or photometric_threshold_ok(cfg)))
     if fast_warp and use_pallas:
         # Fully fused path: ONE kernel call warps image channels AND (for
         # segmentation) the mask as a 4th plane, applying the photometric
@@ -129,7 +142,14 @@ def augment_batch(
             std = std + (1.0,)
         out = warp_affine_pallas(
             inp, mats, out_dtype=jnp.float32,
-            alpha=params.alpha, beta=params.beta, mean=mean, std=std)
+            alpha=params.alpha, beta=params.beta, mean=mean, std=std,
+            planar=s2d and masks is None)
+        if s2d and masks is None:
+            # planar [B, 3*H, W] -> s2d [B, H/2, W/2, 12] in ONE transpose
+            # (replaces the planar->NHWC transpose, not in addition to it)
+            x = out.reshape(b, 3, h // 2, 2, w // 2, 2)
+            x = x.transpose(0, 2, 4, 1, 3, 5).reshape(b, h // 2, w // 2, 12)
+            return x.astype(out_dtype), None
         x = out[..., :3].astype(out_dtype)
         m = None
         if masks is not None:
@@ -146,6 +166,8 @@ def augment_batch(
         + params.beta[:, None, None, None] * 255.0
     x = jnp.clip(x, 0.0, 255.0)
     x = I.normalize_imagenet(x, cfg.mean, cfg.std).astype(out_dtype)
+    if s2d and masks is None:
+        x = I.space_to_depth(x)
 
     m = None
     if masks is not None:
@@ -163,9 +185,12 @@ def preprocess_eval_batch(
     *,
     cfg: AugmentConfig = AugmentConfig(),
     out_dtype=jnp.float32,
+    s2d: bool = False,
 ) -> Tuple[jax.Array, Optional[jax.Array]]:
     """Val/test preprocessing: normalize only (reference utils/trainer.py:71-83)."""
     x = I.normalize_imagenet(images, cfg.mean, cfg.std).astype(out_dtype)
+    if s2d and masks is None:
+        x = I.space_to_depth(x)
     m = None
     if masks is not None:
         m = (masks[..., None].astype(jnp.float32) / 255.0).astype(out_dtype)

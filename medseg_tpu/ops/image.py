@@ -232,3 +232,15 @@ def normalize_imagenet(images: jax.Array, mean, std) -> jax.Array:
     mean = jnp.asarray(mean, dtype=jnp.float32) * 255.0
     std = jnp.asarray(std, dtype=jnp.float32) * 255.0
     return (images.astype(jnp.float32) - mean) / std
+
+
+def space_to_depth(x: jax.Array) -> jax.Array:
+    """NHWC [B,H,W,C] -> [B,H/2,W/2,4C], channel order c*4 + dy*2 + dx.
+
+    The layout consumed by models.resnet.FoldedStem: 3-channel inputs
+    underutilize the MXU, so the stem runs on 12-channel s2d input with
+    refolded weights (PERF.md stem lever)."""
+    b, h, w, c = x.shape
+    x = x.reshape(b, h // 2, 2, w // 2, 2, c)
+    x = x.transpose(0, 1, 3, 5, 2, 4)
+    return x.reshape(b, h // 2, w // 2, c * 4)

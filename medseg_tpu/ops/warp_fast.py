@@ -41,6 +41,46 @@ MAX_SHIFT = 64
 COARSE = 8
 
 
+def fast_warp_supports(cfg, h: int, w: int) -> bool:
+    """Does the (PAD, MAX_SHIFT) envelope contain every transform this
+    AugmentConfig can sample?  The fast warp's bounds were derived for the
+    default limits; widened configs must fall back to the exact gather warp
+    or they would silently clip shifts / corrupt warped pixels (ADVICE r1).
+
+    Conservative worst-case over the sampled family (rotate <= theta,
+    scale in [1-s, 1+s], shift <= f of the image size, optional hflip —
+    flips only change signs, not magnitudes):
+    - corner displacement  r*|R(-theta)/smin - I| + f*n/smin  must fit PAD
+    - residual per-line shifts of the two 1-D passes
+      (smax*sin(theta), tan(theta)) * (padded extent)/2  must fit MAX_SHIFT
+    """
+    import math
+
+    theta = math.radians(abs(cfg.rotate_limit_deg))
+    smin = 1.0 - abs(cfg.scale_limit)
+    smax = 1.0 + abs(cfg.scale_limit)
+    if smin <= 0.1 or theta >= math.radians(45.0):
+        return False
+    n = float(max(h, w))
+    r = math.hypot(h, w) / 2.0
+    disp = r * math.hypot(math.cos(theta) / smin - 1.0,
+                          math.sin(theta) / smin) \
+        + abs(cfg.shift_limit) * n / smin
+    if disp > PAD - 1.0:
+        return False
+    half_padded = (n + 2 * PAD) / 2.0
+    delta_h = smax * math.sin(theta) * half_padded
+    delta_v = math.tan(theta) * half_padded
+    return max(delta_h, delta_v) <= MAX_SHIFT - 1.0
+
+
+def photometric_threshold_ok(cfg) -> bool:
+    """The fused Pallas mask trick binarizes via t = 127.5*alpha + beta*255,
+    which assumes t stays strictly inside (0, 255) (the clip's linear
+    region).  Holds iff contrast_limit + 2*brightness_limit < 1."""
+    return (abs(cfg.contrast_limit) + 2.0 * abs(cfg.brightness_limit)) < 1.0
+
+
 def _interp_matrix(alpha, offset, n_out: int, n_in: int, nearest: bool = False):
     """[n_out, n_in] resampling matrix from traced scalars: row o samples
     source coordinate alpha*o + offset (hat weights, or a single 1 at the

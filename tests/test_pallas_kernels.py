@@ -42,3 +42,32 @@ def test_fused_photometric_bf16_output(rng_np):
     want = _reference(images, np.ones(2, np.float32), np.zeros(2, np.float32),
                       np.zeros(2, bool))
     np.testing.assert_allclose(np.asarray(out, np.float32), want, atol=0.05)
+
+
+def test_warp_kernel_matches_xla_warp_interpret(rng_np):
+    """Pad-free Pallas warp == XLA two-pass warp (interpret mode; the TPU
+    bit-exactness run lives in PERF.md's validation log)."""
+    from medseg_tpu.ops import image as I
+    from medseg_tpu.ops.pallas.warp_kernel import warp_affine_pallas
+    from medseg_tpu.ops.warp_fast import warp_affine_fast
+
+    n, sz = 4, 64
+    imgs = jnp.asarray(rng_np.integers(0, 256, (n, sz, sz, 3)).astype(np.uint8))
+    mats = I.shift_scale_rotate_matrix(
+        jnp.asarray(rng_np.uniform(-15, 15, n).astype(np.float32)),
+        jnp.asarray(rng_np.uniform(0.95, 1.05, n).astype(np.float32)),
+        jnp.asarray(rng_np.uniform(-0.05, 0.05, n).astype(np.float32)),
+        jnp.asarray(rng_np.uniform(-0.05, 0.05, n).astype(np.float32)),
+        sz, sz)
+    ref = warp_affine_fast(imgs, mats)
+    got = warp_affine_pallas(imgs, mats, interpret=True)
+    # atol: CPU-only FMA rounding between XLA's fused contractions and
+    # interpret-mode dots (~0.005 gray; the r1 padded kernel showed the
+    # identical interpret-mode delta).  On TPU the kernel is bit-exact vs
+    # warp_affine_fast (probe logged in PERF.md).
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=0.01)
+    refn = warp_affine_fast(imgs[..., :1], mats, nearest=True)
+    gotn = warp_affine_pallas(imgs[..., :1], mats, nearest=True,
+                              interpret=True)
+    np.testing.assert_array_equal(np.asarray(gotn), np.asarray(refn))

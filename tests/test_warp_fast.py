@@ -78,3 +78,37 @@ def test_composed_flip_ssr(rng_np):
     fast = np.asarray(warp_affine_fast(jnp.asarray(img), mats))
     inner = np.abs(exact - fast)[:, 8:-8, 8:-8]
     assert np.median(inner) < 0.6
+
+
+def test_fast_warp_bounds_gate():
+    """Widened AugmentConfig limits must disqualify the fast warp instead of
+    silently clipping shifts (ADVICE r1, warp_fast bounds)."""
+    from medseg_tpu.core.config import AugmentConfig
+    from medseg_tpu.ops.warp_fast import (fast_warp_supports,
+                                          photometric_threshold_ok)
+
+    assert fast_warp_supports(AugmentConfig(), 256, 256)
+    assert not fast_warp_supports(
+        AugmentConfig(rotate_limit_deg=60.0), 256, 256)
+    assert not fast_warp_supports(AugmentConfig(shift_limit=0.4), 256, 256)
+    assert not fast_warp_supports(AugmentConfig(scale_limit=0.95), 256, 256)
+
+    assert photometric_threshold_ok(AugmentConfig())
+    assert not photometric_threshold_ok(
+        AugmentConfig(brightness_limit=0.5, contrast_limit=0.2))
+
+
+def test_augment_falls_back_for_wide_limits(rng_np):
+    """augment_batch must still produce valid output when the config exceeds
+    the fast-warp envelope (exact-warp fallback)."""
+    import jax
+    from medseg_tpu.core.config import AugmentConfig
+    from medseg_tpu.ops.augment import augment_batch
+
+    imgs = rng_np.integers(0, 256, (2, 32, 32, 3)).astype(np.uint8)
+    masks = (rng_np.random((2, 32, 32)) > 0.5).astype(np.uint8) * 255
+    cfg = AugmentConfig(rotate_limit_deg=80.0, affine_p=1.0)
+    x, m = augment_batch(jax.random.key(0), jnp.asarray(imgs),
+                         jnp.asarray(masks), cfg=cfg)
+    assert np.isfinite(np.asarray(x)).all()
+    assert set(np.unique(np.asarray(m))) <= {0.0, 1.0}
