@@ -55,14 +55,16 @@ def _cmd_pack(args):
 
 
 def _loaders(cache_dir: str, task: str, batch_size: int, val_fraction: float,
-             seed: int = 0):
+             seed: int = 0, device_cache: bool = False):
     from medseg_tpu.data.loader import BatchLoader, split_train_val
     from medseg_tpu.data.packed import load_packed
 
     ds = load_packed(cache_dir, f"train_{task}")
     tr_idx, va_idx = split_train_val(len(ds), val_fraction, seed)
-    train = BatchLoader(ds, batch_size, shuffle=True, seed=seed, indices=tr_idx)
-    val = BatchLoader(ds, batch_size, shuffle=False, indices=va_idx)
+    train = BatchLoader(ds, batch_size, shuffle=True, seed=seed, indices=tr_idx,
+                        device_cache=device_cache)
+    val = BatchLoader(ds, batch_size, shuffle=False, indices=va_idx,
+                      device_cache=device_cache)
     return train, val
 
 
@@ -87,8 +89,10 @@ def _cmd_train(args):
         seg = task == "segmentation"
         bs = args.batch_size or (cfg.seg_batch_size if seg else cfg.cls_batch_size)
         print(f"\n--- Training {task} model: {name} ---")
+        # single-chip: keep the whole packed split HBM-resident (no per-step
+        # H2D); mesh training keeps the host loader for sharded placement
         train, val = _loaders(args.cache_dir, "seg" if seg else "cls", bs,
-                              cfg.val_fraction)
+                              cfg.val_fraction, device_cache=mesh is None)
         with trace_context(args.profile):
             res = train_model(name, train, val, cfg, mesh=mesh,
                               resume=args.resume)
@@ -137,6 +141,62 @@ def _cmd_eval(args):
             if Path(ours).exists() and ref.exists():
                 print(f"\n=== Parity vs {ref} ===")
                 format_parity_report(compare_results_csv(ours, str(ref)))
+
+
+def _cmd_parity(args):
+    """One-command real-data parity replay (readiness kit, VERDICT r1 #8):
+    split -> pack the test split -> evaluate every model whose weights exist
+    -> compare the produced CSVs against the reference's published
+    results/*.csv.  Exits nonzero when any metric deviates beyond tolerance
+    (reference ground truth: results/classification_test_results.csv:1-6,
+    results/segmentation_test_results.csv:1-6)."""
+    from pathlib import Path
+
+    from medseg_tpu.data.loader import BatchLoader
+    from medseg_tpu.data.packed import load_packed, pack_split, save_packed
+    from medseg_tpu.data.splits import generate_splits
+    from medseg_tpu.eval import print_summary, save_results_to_csv, test_all_models
+    from medseg_tpu.eval.parity import compare_results_csv, format_parity_report
+
+    data_cfg = DataConfig(root=args.root, splits_dir=f"{args.root}/splits")
+    if not data_cfg.split_csv("test").exists():
+        generate_splits(data_cfg)
+    for task in ("cls", "seg"):
+        if not (Path(args.cache_dir) / f"test_{task}_images.npy").exists():
+            ds = pack_split(data_cfg, "test", task)
+            save_packed(ds, args.cache_dir, f"test_{task}")
+            print(f"packed test/{task}: {len(ds)} samples")
+
+    cfg = EvalConfig(batch_size=args.batch_size, weights_root=args.weights_root,
+                     results_dir=args.results_dir)
+    cls_loader = BatchLoader(load_packed(args.cache_dir, "test_cls"),
+                             cfg.batch_size, shuffle=False)
+    seg_loader = BatchLoader(load_packed(args.cache_dir, "test_seg"),
+                             max(1, cfg.batch_size // 2), shuffle=False)
+    results = test_all_models(cls_loader, seg_loader, cfg)
+    print_summary(results)
+    cls_csv = f"{cfg.results_dir}/classification_test_results.csv"
+    seg_csv = f"{cfg.results_dir}/segmentation_test_results.csv"
+    save_results_to_csv(results, cls_csv, seg_csv)
+
+    ok = True
+    any_compared = False
+    for ours, ref_name in ((cls_csv, "classification_test_results.csv"),
+                           (seg_csv, "segmentation_test_results.csv")):
+        ref = Path(args.reference) / ref_name
+        if not (Path(ours).exists() and ref.exists()):
+            continue
+        any_compared = True
+        print(f"\n=== Parity vs {ref} (tolerance {args.tolerance} pp) ===")
+        report = compare_results_csv(ours, str(ref), tolerance=args.tolerance)
+        format_parity_report(report)
+        ok = ok and report["within_tolerance"]
+    if not any_compared:
+        print("[ERROR] nothing to compare: no produced/reference CSV pairs")
+        raise SystemExit(2)
+    print(f"\nPARITY {'PASS' if ok else 'FAIL'}")
+    if not ok:
+        raise SystemExit(1)
 
 
 def _cmd_finetune_clip(args):
@@ -270,6 +330,12 @@ def main(argv=None):
     sp.add_argument("--batch-size", type=int, default=16)
     sp.add_argument("--compare", default=None,
                     help="directory of reference results CSVs for parity replay")
+    sp = add("parity", _cmd_parity)
+    sp.add_argument("--batch-size", type=int, default=16)
+    sp.add_argument("--reference", default="/root/reference/results",
+                    help="directory with the reference's published results CSVs")
+    sp.add_argument("--tolerance", type=float, default=0.5,
+                    help="max |delta| in percentage points")
     add("finetune-clip", _cmd_finetune_clip)
     add("finetune-clipseg", _cmd_finetune_clipseg)
     sp = add("demo", _cmd_demo)
