@@ -109,3 +109,25 @@ def test_split_train_val_partition():
     assert len(tr) == 80 and len(va) == 20
     assert set(tr) | set(va) == set(range(100))
     assert not (set(tr) & set(va))
+
+
+def test_batch_loader_device_cache_matches_host_path():
+    """device_cache=True serves bit-identical (image, target) batches to the
+    host path, for both cls labels and seg masks, across a shuffled epoch."""
+    from medseg_tpu.data.synthetic import synthetic_seg
+
+    for ds in (synthetic_cls(n=10, img_size=8), synthetic_seg(n=10, img_size=8)):
+        host = BatchLoader(ds, 3, shuffle=True, seed=7)
+        dev = BatchLoader(ds, 3, shuffle=True, seed=7, device_cache=True)
+        assert dev.device_cache
+        for (hi, ht), (di, dt) in zip(host, dev):
+            np.testing.assert_array_equal(np.asarray(hi), np.asarray(di))
+            np.testing.assert_array_equal(np.asarray(ht), np.asarray(dt))
+
+
+def test_batch_loader_device_cache_budget_fallback():
+    ds = synthetic_cls(n=10, img_size=8)
+    loader = BatchLoader(ds, 3, shuffle=False, device_cache=True,
+                         device_cache_budget=16)  # arrays exceed 16 bytes
+    assert not loader.device_cache
+    assert sum(len(np.asarray(l)) for _, l in loader) == 10
