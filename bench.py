@@ -137,10 +137,12 @@ def bench_training(small: bool):
     return batch * steps / best
 
 
-ZOO = (("ResNet18", 256, 256), ("ResNet50", 256, 256), ("VGG16", 128, 256),
-       ("VGG19", 128, 256), ("ResNetUnet", 64, 256),
-       ("AttentionUNet", 32, 256), ("R2Unet", 8, 256), ("R2AttUnet", 8, 256),
-       ("CLIP", 128, 224), ("CLIPSeg", 16, 352))
+# batch sizes from the r2 sweep (PERF.md): every model gains 5-20% from the
+# larger batch; all are MXU-bound at 42-75% of bf16 peak at these sizes
+ZOO = (("ResNet18", 384, 256), ("ResNet50", 384, 256), ("VGG16", 256, 256),
+       ("VGG19", 256, 256), ("ResNetUnet", 128, 256),
+       ("AttentionUNet", 64, 256), ("R2Unet", 16, 256), ("R2AttUnet", 16, 256),
+       ("CLIP", 256, 224), ("CLIPSeg", 32, 352))
 
 
 def bench_zoo(small: bool):

@@ -59,19 +59,21 @@ class VGGClassifier(nn.Module):
         x = adaptive_avg_pool(x, 7, 7)
         # Flatten in torch's CHW order so converted Linear weights line up.
         x = jnp.transpose(x, (0, 3, 1, 2)).reshape(x.shape[0], -1)
-        x = x.astype(jnp.float32)
         det = not train
-        x = nn.Dense(4096, name="fc1")(x)
+        # The head follows the model compute dtype (f32 params, bf16 compute
+        # under dtype=bf16 — same policy as the convs); logits return in f32.
+        x = nn.Dense(4096, dtype=self.dtype, name="fc1")(x)
         x = nn.relu(x)
         x = nn.Dropout(0.5, deterministic=det)(x)
-        x = nn.Dense(4096, name="fc2")(x)
+        x = nn.Dense(4096, dtype=self.dtype, name="fc2")(x)
         x = nn.relu(x)
         x = nn.Dropout(0.5, deterministic=det)(x)
         # add_dropout_to_fc appends Dropout+Linear after the (kept) second
         # dropout, so train-time the head sees two stacked dropouts — faithful
         # to helpers.py:135-144.
         x = nn.Dropout(self.dropout, deterministic=det)(x)
-        return nn.Dense(self.num_classes, name="head_fc")(x)
+        logits = nn.Dense(self.num_classes, dtype=self.dtype, name="head_fc")(x)
+        return logits.astype(jnp.float32)
 
 
 @register_model("VGG16", task="classification")
