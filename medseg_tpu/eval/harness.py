@@ -125,8 +125,11 @@ def _eval_classification(model, variables, loader: BatchLoader,
                          clip_size: Optional[int] = None):
     from medseg_tpu.ops.clip_prep import clip_preprocess
 
+    # `variables` rides as a jit ARGUMENT, not a closure: closed-over params
+    # become HLO constants, and a VGG16's 134M f32 params serialize to a
+    # >500MB program that the remote-compile transport rejects (HTTP 413).
     @jax.jit
-    def step(images, **extra):
+    def step(variables, images, **extra):
         if clip_size is not None:
             # CLIP path: bicubic resize + CLIP normalize (tester.py:341-371)
             x = clip_preprocess(images, clip_size)
@@ -137,7 +140,7 @@ def _eval_classification(model, variables, loader: BatchLoader,
 
     preds, labels = [], []
     for images, targets in loader:
-        p = step(images, **(extra_inputs or {}))
+        p = step(variables, images, **(extra_inputs or {}))
         preds.append(np.asarray(p))
         labels.append(np.asarray(targets))
     preds = np.concatenate(preds)
@@ -151,8 +154,9 @@ def _eval_segmentation(model, variables, loader: BatchLoader,
                        clip_size: Optional[int] = None):
     from medseg_tpu.ops.clip_prep import clip_preprocess
 
+    # variables as jit argument — see _eval_classification (HTTP 413).
     @jax.jit
-    def step(images, masks, **extra):
+    def step(variables, images, masks, **extra):
         _, m = preprocess_eval_batch(images, masks)
         if clip_size is not None:
             # CLIPSeg path (tester.py:430-487): CLIP preprocess at 352,
@@ -173,7 +177,7 @@ def _eval_segmentation(model, variables, loader: BatchLoader,
 
     acc: Dict[str, list] = {}
     for images, masks in loader:
-        out = step(images, masks, **(extra_inputs or {}))
+        out = step(variables, images, masks, **(extra_inputs or {}))
         for k, v in out.items():
             acc.setdefault(k, []).append(np.asarray(v))
     per_sample = {k: np.concatenate(v) for k, v in acc.items()}

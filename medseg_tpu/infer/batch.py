@@ -64,27 +64,36 @@ def batch_predict(
     is_clip = cls_name.lower() == "clip"
     is_clipseg = seg_name.lower() == "clipseg"
 
+    # model variables ride as jit arguments, not closures (closure capture
+    # bakes params into the HLO as constants; VGG-sized programs then blow
+    # the remote-compile transport's size limit — see eval/harness.py).
     @jax.jit
-    def cls_step(images_u8):
+    def cls_fwd(variables, images_u8):
         if is_clip:
             x = clip_preprocess(images_u8, CLIP_IMG_SIZE)
         else:
             x, _ = preprocess_eval_batch(images_u8)
-        logits = cls_model.apply(cls_vars, x, **cls_extra)
+        logits = cls_model.apply(variables, x, **cls_extra)
         probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
         return jnp.argmax(probs, axis=-1), jnp.max(probs, axis=-1)
 
     @jax.jit
-    def seg_step(images_u8):
+    def seg_fwd(variables, images_u8):
         if is_clipseg:
             x = clip_preprocess(images_u8, CLIPSEG_IMG_SIZE)
-            logits = seg_model.apply(seg_vars, x, **seg_extra)[..., None]
+            logits = seg_model.apply(variables, x, **seg_extra)[..., None]
         else:
             x, _ = preprocess_eval_batch(images_u8)
-            logits = seg_model.apply(seg_vars, x, **seg_extra)
+            logits = seg_model.apply(variables, x, **seg_extra)
             if logits.ndim == 3:
                 logits = logits[..., None]
         return jax.nn.sigmoid(logits.astype(jnp.float32))[..., 0]
+
+    def cls_step(images_u8):
+        return cls_fwd(cls_vars, images_u8)
+
+    def seg_step(images_u8):
+        return seg_fwd(seg_vars, images_u8)
 
     out_dir = Path(output_dir) if output_dir else None
     if out_dir:

@@ -84,17 +84,20 @@ class Pipeline:
                     "checkpoint and none passed to Pipeline(text_features=...)")
             tf = jnp.asarray(self.text_features)
 
+            # `variables` is a jit ARGUMENT (closure capture would bake the
+            # params into the HLO as constants; a VGG-sized program then
+            # exceeds the remote-compile transport's size limit).
             @jax.jit
-            def fn(images_u8):
+            def step(variables, images_u8):
                 x = clip_preprocess(images_u8, CLIP_IMG_SIZE)
                 return model.apply(variables, x, tf)
         else:
             @jax.jit
-            def fn(images_u8):
+            def step(variables, images_u8):
                 x, _ = preprocess_eval_batch(images_u8)
                 return model.apply(variables, x)
 
-        return fn
+        return lambda images_u8: step(variables, images_u8)
 
     def _build_seg_fn(self, name: str, variables):
         model = get_model(name)["factory"]()
@@ -105,21 +108,22 @@ class Pipeline:
                     "the checkpoint and none passed to Pipeline(clipseg_cond=...)")
             cond = jnp.asarray(self.clipseg_cond)
 
+            # variables as jit argument — see _build_cls_fn.
             @jax.jit
-            def fn(images_u8):
+            def step(variables, images_u8):
                 x = clip_preprocess(images_u8, CLIPSEG_IMG_SIZE)
                 logits = model.apply(variables, x, cond=cond)
                 return jax.nn.sigmoid(logits.astype(jnp.float32))[..., None]
         else:
             @jax.jit
-            def fn(images_u8):
+            def step(variables, images_u8):
                 x, _ = preprocess_eval_batch(images_u8)
                 logits = model.apply(variables, x)
                 if logits.ndim == 3:
                     logits = logits[..., None]
                 return jax.nn.sigmoid(logits.astype(jnp.float32))
 
-        return fn
+        return lambda images_u8: step(variables, images_u8)
 
     # ------------------------------------------------------------------
     def _load_models(self, classification_name: str, segmentation_name: str):
