@@ -85,20 +85,29 @@ def finetune_clip(
         lr = cosine_annealing(cfg.lr, epoch - 1, cfg.epochs)
         opt_state = S.set_learning_rate(opt_state, lr)
 
-        run_loss = correct = total = 0
+        # stats accumulate on device; ONE host fetch per epoch (a per-step
+        # float(loss) would sync the demand-driven runtime every step —
+        # the dominant r1 training-loop cost, see train/trainer.py)
+        loss_acc = jnp.zeros((), jnp.float32)
+        corr_acc = jnp.zeros((), jnp.int32)
+        total = 0
         for images, labels in train_loader:
             params, opt_state, loss, corr = train_step(params, opt_state,
                                                        images, labels)
-            run_loss += float(loss) * images.shape[0]
-            correct += int(corr)
+            loss_acc = loss_acc + loss * images.shape[0]
+            corr_acc = corr_acc + corr
             total += images.shape[0]
+        run_loss, correct = float(loss_acc), int(corr_acc)
 
-        val_loss = val_correct = val_total = 0
+        vloss_acc = jnp.zeros((), jnp.float32)
+        vcorr_acc = jnp.zeros((), jnp.int32)
+        val_total = 0
         for images, labels in val_loader:
             loss_sum, corr = eval_step(params, images, labels)
-            val_loss += float(loss_sum)
-            val_correct += int(corr)
+            vloss_acc = vloss_acc + loss_sum
+            vcorr_acc = vcorr_acc + corr
             val_total += images.shape[0]
+        val_loss, val_correct = float(vloss_acc), int(vcorr_acc)
         val_acc = 100.0 * val_correct / max(1, val_total)
         log(f"[CLIP] Ep{epoch}: TrainLoss {run_loss / max(1, total):.3f} "
             f"(Acc {100.0 * correct / max(1, total):.2f}%) | "

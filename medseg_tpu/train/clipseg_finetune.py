@@ -108,19 +108,23 @@ def finetune_clipseg(
     for epoch in range(1, cfg.epochs + 1):
         opt_state = S.set_learning_rate(
             opt_state, cosine_annealing(cfg.lr, epoch - 1, cfg.epochs))
-        run_loss = total = 0
+        # device-side stat accumulation, one fetch per epoch (train/trainer.py)
+        loss_acc = jnp.zeros((), jnp.float32)
+        total = 0
         for images, masks in train_loader:
             params, opt_state, loss = train_step(params, opt_state, images, masks)
-            run_loss += float(loss) * images.shape[0]
+            loss_acc = loss_acc + loss * images.shape[0]
             total += images.shape[0]
+        run_loss = float(loss_acc)
 
-        val_loss = 0.0
-        dices = []
+        vloss_acc = jnp.zeros((), jnp.float32)
+        dice_stack = []
         for images, masks in val_loader:
             loss_sum, dice = eval_step(params, images, masks)
-            val_loss += float(loss_sum)
-            dices.append(float(dice))
-        val_dice = float(np.mean(dices)) if dices else 0.0
+            vloss_acc = vloss_acc + loss_sum
+            dice_stack.append(dice)
+        val_loss = float(vloss_acc)
+        val_dice = float(jnp.mean(jnp.stack(dice_stack))) if dice_stack else 0.0
         log(f"[CLIPSeg] Ep{epoch}: TrainLoss {run_loss / max(1, total):.3f} | "
             f"ValLoss {val_loss / max(1, val_loader.num_samples):.3f} | "
             f"ValDice {val_dice:.3f}")
