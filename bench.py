@@ -139,6 +139,60 @@ def bench_training(small: bool):
 
 # batch sizes from the r2 sweep (PERF.md): every model gains 5-20% from the
 # larger batch; all are MXU-bound at 42-75% of bf16 peak at these sizes
+def bench_training_seg(small: bool):
+    """Segmentation train step (AttentionUNet BCE, fused 4-plane augment):
+    MXU-bound conv compute — the counterpart number to the cls train step
+    (reference helpers.py trains both families)."""
+    from medseg_tpu.core.registry import get_model
+    from medseg_tpu.ops.augment import augment_batch
+    from medseg_tpu.train import steps as S
+    from medseg_tpu.train.freeze import finetune_filter, mask_from_predicate
+
+    batch = 4 if small else 16
+    size = 64 if small else 256
+    steps = 2 if small else 6
+    warmup = 1 if small else 2
+
+    model = get_model("AttentionUNet")["factory"](dtype=jnp.bfloat16)
+    rng = jax.random.key(0)
+    variables = model.init({"params": rng, "dropout": rng},
+                           jnp.zeros((1, size, size, 3), jnp.float32))
+    mask = mask_from_predicate(variables["params"],
+                               finetune_filter("AttentionUNet"))
+    optimizer = S.build_optimizer(1e-4, 5e-4, 1.0, mask)
+    state = S.init_state(model, variables, optimizer)
+
+    def prep(key, imgs, msks):
+        return augment_batch(key, imgs, msks, out_dtype=jnp.bfloat16)
+
+    train_step = S.make_seg_train_step(model, optimizer, prep=prep)
+    images = jax.device_put(np.random.default_rng(0).integers(
+        0, 256, (batch, size, size, 3), dtype=np.uint8))
+    masks = jax.device_put((np.random.default_rng(1).random(
+        (batch, size, size)) > 0.5).astype(np.uint8) * 255)
+
+    def run(k: int, key0: int, state):
+        t0 = time.perf_counter()
+        acc = jnp.zeros((), jnp.float32)
+        for i in range(k):
+            state, loss = train_step(state, images, masks,
+                                     jax.random.key(key0 + i),
+                                     jax.random.key(key0 + 10_000 + i))
+            acc = acc + loss
+        float(acc)
+        return time.perf_counter() - t0, state
+
+    t0 = time.perf_counter()
+    _, state = run(warmup, 0, state)
+    print(f"[bench] seg train compile+warmup {time.perf_counter() - t0:.1f}s",
+          file=sys.stderr)
+    best = 1e18
+    for r in range(3):
+        t, state = run(steps, 100 + 50 * r, state)
+        best = min(best, t)
+    return batch * steps / best
+
+
 ZOO = (("ResNet18", 384, 256), ("ResNet50", 384, 256), ("VGG16", 256, 256),
        ("VGG19", 256, 256), ("ResNetUnet", 128, 256),
        ("AttentionUNet", 64, 256), ("R2Unet", 16, 256), ("R2AttUnet", 16, 256),
@@ -200,6 +254,7 @@ def main():
 
     infer_ips = bench_inference(small)
     train_ips = bench_training(small)
+    seg_train_ips = bench_training_seg(small)
 
     result = {
         "metric": "images/sec/chip end-to-end (aug+infer, 256px, ResNet18 bf16)",
@@ -209,6 +264,10 @@ def main():
         "train_images_per_sec": round(train_ips, 1),
         "train_metric": "images/sec/chip train step "
                         "(aug+fwd+bwd+AdamW, 256px, ResNet18 bf16)",
+        "seg_train_images_per_sec": round(seg_train_ips, 1),
+        "seg_train_metric": "images/sec/chip seg train step "
+                            "(fused aug+fwd+bwd+AdamW, 256px, "
+                            "AttentionUNet bf16 BCE)",
     }
     if os.environ.get("BENCH_ZOO") == "1":
         result["zoo"] = bench_zoo(small)
