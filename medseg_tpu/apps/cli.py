@@ -288,6 +288,8 @@ def _cmd_serve(args):
     from medseg_tpu.infer.server import InferenceServer
 
     server = InferenceServer(EvalConfig(weights_root=args.weights_root))
+    if not args.no_warmup:
+        server.warmup()
     server.serve(host=args.host, port=args.port)
 
 
@@ -352,6 +354,8 @@ def main(argv=None):
     sp = add("serve", _cmd_serve)
     sp.add_argument("--host", default="127.0.0.1")
     sp.add_argument("--port", type=int, default=8000)
+    sp.add_argument("--no-warmup", action="store_true",
+                    help="skip compiling the default model pair at startup")
     add("bench", _cmd_bench)
 
     args = p.parse_args(argv)

@@ -46,6 +46,28 @@ class InferenceServer:
         self.pipeline = Pipeline(cfg, **pipeline_kwargs)
         self.lock = threading.Lock()  # jit-cached pipeline is single-stream
 
+    def warmup(self, cls_name: str = "ResNet18", seg_name: str = "ResNetUnet",
+               log=print):
+        """Load the default model pair and trace/compile their jitted
+        forwards on a dummy image BEFORE accepting traffic — first-request
+        latency drops from minutes (remote compile) to the steady-state
+        single-image time."""
+        import time
+
+        t0 = time.time()
+        with self.lock:
+            p = self.pipeline
+            p._load_models(cls_name, seg_name)
+            batch = np.zeros((1, 64, 64, 3), np.uint8)
+            # drive BOTH jitted forwards directly: process_image only reaches
+            # the segmentation fn behind the COVID cascade gate
+            p._predict_classification(
+                p._to_grid(batch, *p.input_grid(cls_name)))
+            p._predict_segmentation(
+                p._to_grid(batch, *p.input_grid(seg_name)))
+        log(f"[serve] warmup ({cls_name}+{seg_name}) done in "
+            f"{time.time() - t0:.1f}s")
+
     def handle_predict(self, payload: dict) -> dict:
         img = _decode_image(payload["image"])
         seg_name = payload.get("segmentation_model", "ResNetUnet")
