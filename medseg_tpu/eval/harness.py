@@ -138,12 +138,15 @@ def _eval_classification(model, variables, loader: BatchLoader,
         logits = model.apply(variables, x, **extra)
         return jnp.argmax(logits, axis=-1)
 
+    # predictions stay ON DEVICE until the loop ends: a per-batch
+    # np.asarray would sync the demand-driven runtime every batch (~70
+    # round trips on the real test set); one concatenated fetch instead.
     preds, labels = [], []
     for images, targets in loader:
         p = step(variables, images, **(extra_inputs or {}))
-        preds.append(np.asarray(p))
+        preds.append(p)
         labels.append(np.asarray(targets))
-    preds = np.concatenate(preds)
+    preds = np.asarray(jnp.concatenate(preds))
     labels = np.concatenate(labels)
     return M.classification_metrics(preds, labels, num_classes=len(CLASSES))
 
@@ -175,12 +178,14 @@ def _eval_segmentation(model, variables, loader: BatchLoader,
             probs = jax.nn.sigmoid(logits.astype(jnp.float32))
         return M.segmentation_metrics_batched(probs, m, threshold)
 
+    # per-sample metric vectors accumulate on device; one fetch per metric
+    # at the end (see _eval_classification)
     acc: Dict[str, list] = {}
     for images, masks in loader:
         out = step(variables, images, masks, **(extra_inputs or {}))
         for k, v in out.items():
-            acc.setdefault(k, []).append(np.asarray(v))
-    per_sample = {k: np.concatenate(v) for k, v in acc.items()}
+            acc.setdefault(k, []).append(v)
+    per_sample = {k: np.asarray(jnp.concatenate(v)) for k, v in acc.items()}
     return M.average_segmentation_metrics(per_sample)
 
 
