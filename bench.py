@@ -39,7 +39,7 @@ def bench_inference(small: bool):
     from medseg_tpu.core.registry import get_model
     from medseg_tpu.ops.augment import augment_batch
 
-    batch = 32 if small else 256
+    batch = 32 if small else 384  # r2 sweep: B=384 beats 256/512 e2e
     size = 64 if small else 256
     steps = 3 if small else 30
     warmup = 2 if small else 4

@@ -140,8 +140,13 @@ def augment_batch(
             inp = jnp.concatenate([images, masks[..., None]], axis=-1)
             mean = mean + (0.0,)
             std = std + (1.0,)
+        # Classification: the kernel writes the model compute dtype directly
+        # (bf16 halves its HBM output traffic; epilogue math stays f32 in
+        # VMEM).  Segmentation keeps f32: the mask plane is thresholded
+        # against a per-sample f32 value on the way out.
+        k_dtype = out_dtype if masks is None else jnp.float32
         out = warp_affine_pallas(
-            inp, mats, out_dtype=jnp.float32,
+            inp, mats, out_dtype=k_dtype,
             alpha=params.alpha, beta=params.beta, mean=mean, std=std,
             planar=s2d and masks is None)
         if s2d and masks is None:
