@@ -199,40 +199,99 @@ class Pipeline:
                       overlay_opacity: float = 0.5):
         """image: RGB uint8 array or PIL Image.
         Returns (prediction, confidence, overlay_or_None, analysis_text)."""
-        if image is None:
-            return ("No Image Uploaded", 0.0, None,
-                    "Please upload an image to begin analysis.")
-        if not isinstance(image, np.ndarray):
-            image = np.asarray(image.convert("RGB"))
-        original = image
+        return self.process_batch([image], segmentation_model_name,
+                                  overlay_opacity)[0]
+
+    # largest micro-batch one forward serves; groups pad up to the next
+    # power of two so at most log2(MAX_BATCH)+1 programs compile per model
+    MAX_BATCH = 8
+
+    @staticmethod
+    def _pad_pow2(x: jnp.ndarray) -> jnp.ndarray:
+        n = x.shape[0]
+        target = 1
+        while target < n:
+            target *= 2
+        if target == n:
+            return x
+        reps = jnp.broadcast_to(x[-1:], (target - n,) + x.shape[1:])
+        return jnp.concatenate([x, reps], axis=0)
+
+    def process_batch(self, images, segmentation_model_name: str,
+                      overlay_opacity: float = 0.5):
+        """Micro-batched cascade over up to MAX_BATCH images: ONE
+        classification forward for the group and (if any prediction is
+        COVID) ONE segmentation forward for the whole group — static
+        shapes beat dynamic COVID-subset gathers on TPU, and the overlay
+        gate stays an observable-behavior property (rendered only for
+        COVID).  Entries may be RGB arrays, PIL images, or None.
+        Returns a list of (prediction, confidence, overlay, analysis)."""
+        results: list = [None] * len(images)
+        arrays, idxs = [], []
+        for i, image in enumerate(images):
+            if image is None:
+                results[i] = ("No Image Uploaded", 0.0, None,
+                              "Please upload an image to begin analysis.")
+                continue
+            if not isinstance(image, np.ndarray):
+                image = np.asarray(image.convert("RGB"))
+            arrays.append(image)
+            idxs.append(i)
+        if not arrays:
+            return results
 
         cls_name = self._cls[0] if self._cls else "ResNet50"
         self._load_models(cls_name, segmentation_model_name)
+        if self._cls is None:
+            msg = "FATAL ERROR: Classification Model Not Loaded"
+            for i in idxs:
+                results[i] = (msg, 0.0, None, msg)
+            return results
 
-        # The original is resized once, directly to each family's grid (no
+        # Each original is resized once, directly to each family's grid (no
         # intermediate 256 canvas — parity with reference pipeline.py's
         # per-family preprocessing).  The resize is a tiny per-input-shape
-        # program; the model programs compile once per fixed grid.
-        batch = jnp.asarray(image[None])
-        cls_in = self._to_grid(batch, *self.input_grid(self._cls[0]))
-        prediction, confidence = self._predict_classification(cls_in)
-        analysis = f"Diagnosis: {prediction}\nConfidence: {confidence:.2f}%\n"
-        output_img = None
+        # program; the model programs compile once per (grid, batch) pair.
+        size, method = self.input_grid(self._cls[0])
+        cls_in = jnp.concatenate(
+            [self._to_grid(jnp.asarray(a[None]), size, method)
+             for a in arrays], axis=0)
+        n = cls_in.shape[0]
+        logits = np.asarray(self._cls[2](self._pad_pow2(cls_in)))[:n]
+        probs = np.exp(logits - logits.max(axis=-1, keepdims=True))
+        probs /= probs.sum(axis=-1, keepdims=True)
+        pred_idx = probs.argmax(axis=-1)
+        preds = [CLASSES[int(k)] for k in pred_idx]
+        confs = [float(probs[j, k]) * 100.0 for j, k in enumerate(pred_idx)]
 
-        if "ERROR" in prediction:
-            analysis = prediction
-        elif prediction != "COVID":  # cascade gate (pipeline.py:395-396)
-            analysis += ("\nRecommendation: Consult a medical professional for "
-                         "final diagnosis. The model suggests no severe "
-                         "COVID-19 pathology.")
-        else:
-            seg_in = self._to_grid(batch, *self.input_grid(self._seg[0]))
-            mask = self._predict_segmentation(seg_in)
-            if mask is not None:
-                output_img = red_overlay(original, mask, overlay_opacity)
+        masks = [None] * n
+        if any(p == "COVID" for p in preds):
+            s_size, s_method = self.input_grid(self._seg[0])
+            seg_in = jnp.concatenate(
+                [self._to_grid(jnp.asarray(a[None]), s_size, s_method)
+                 for a in arrays], axis=0)
+            if self._seg is not None and self._seg[2] is not None:
+                sp = np.asarray(self._seg[2](self._pad_pow2(seg_in)))[:n, :, :, 0]
+                masks = [(p > self.cfg.threshold).astype(np.uint8) * 255
+                         for p in sp]
+
+        for j, i in enumerate(idxs):
+            prediction, confidence = preds[j], confs[j]
+            analysis = (f"Diagnosis: {prediction}\n"
+                        f"Confidence: {confidence:.2f}%\n")
+            output_img = None
+            if "ERROR" in prediction:
+                analysis = prediction
+            elif prediction != "COVID":  # cascade gate (pipeline.py:395-396)
+                analysis += ("\nRecommendation: Consult a medical professional "
+                             "for final diagnosis. The model suggests no severe "
+                             "COVID-19 pathology.")
+            elif masks[j] is not None:
+                output_img = red_overlay(arrays[j], masks[j], overlay_opacity)
                 analysis += ("\nInfection areas have been highlighted in red "
                              "(segmentation model).")
             else:
                 analysis += ("\nWARNING: Segmentation model failed to load. "
                              "Cannot highlight infection areas.")
-        return prediction, confidence, output_img, analysis
+            results[i] = (prediction, confidence, output_img, analysis)
+        return results

@@ -18,7 +18,10 @@ from __future__ import annotations
 import base64
 import io
 import json
+import queue
 import threading
+import time
+from collections import defaultdict
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 import numpy as np
 
@@ -42,9 +45,54 @@ def _encode_png(arr: np.ndarray) -> str:
 
 
 class InferenceServer:
+    """Micro-batching server: handler threads enqueue decoded images; one
+    worker drains the queue (up to Pipeline.MAX_BATCH within a ~10 ms
+    window), groups compatible requests, and runs ONE jitted forward per
+    model for the whole group — the TPU-friendly serving pattern (batch
+    amortizes the per-dispatch relay latency)."""
+
+    BATCH_WINDOW_S = 0.010
+
     def __init__(self, cfg: EvalConfig = EvalConfig(), **pipeline_kwargs):
         self.pipeline = Pipeline(cfg, **pipeline_kwargs)
         self.lock = threading.Lock()  # jit-cached pipeline is single-stream
+        self._queue: queue.Queue = queue.Queue()
+        self.stats = {"requests": 0, "batches": 0, "max_batch": 0}
+        self._worker = threading.Thread(target=self._worker_loop, daemon=True)
+        self._worker.start()
+
+    def _worker_loop(self):
+        while True:
+            group = [self._queue.get()]
+            deadline = time.time() + self.BATCH_WINDOW_S
+            while len(group) < Pipeline.MAX_BATCH:
+                remaining = deadline - time.time()
+                if remaining <= 0:
+                    break
+                try:
+                    group.append(self._queue.get(timeout=remaining))
+                except queue.Empty:
+                    break
+            # one forward per (models, opacity)-compatible bucket
+            buckets = defaultdict(list)
+            for item in group:
+                buckets[item["key"]].append(item)
+            self.stats["batches"] += len(buckets)
+            for (cls_name, seg_name, opacity), items in buckets.items():
+                self.stats["max_batch"] = max(self.stats["max_batch"],
+                                              len(items))
+                self.stats["requests"] += len(items)
+                try:
+                    with self.lock:
+                        self.pipeline._load_models(cls_name, seg_name)
+                        outs = self.pipeline.process_batch(
+                            [it["img"] for it in items], seg_name,
+                            overlay_opacity=opacity)
+                except Exception as e:  # noqa: BLE001
+                    outs = [e] * len(items)
+                for item, out in zip(items, outs):
+                    item["result"] = out
+                    item["event"].set()
 
     def warmup(self, cls_name: str = "ResNet18", seg_name: str = "ResNetUnet",
                log=print):
@@ -69,14 +117,17 @@ class InferenceServer:
             f"{time.time() - t0:.1f}s")
 
     def handle_predict(self, payload: dict) -> dict:
-        img = _decode_image(payload["image"])
+        img = _decode_image(payload["image"])  # host decode off the hot lock
         seg_name = payload.get("segmentation_model", "ResNetUnet")
         cls_name = payload.get("classification_model", "ResNet18")
         opacity = float(payload.get("overlay_opacity", 0.5))
-        with self.lock:
-            self.pipeline._load_models(cls_name, seg_name)
-            pred, conf, overlay, text = self.pipeline.process_image(
-                img, seg_name, overlay_opacity=opacity)
+        item = {"img": img, "key": (cls_name, seg_name, opacity),
+                "event": threading.Event(), "result": None}
+        self._queue.put(item)
+        item["event"].wait()
+        if isinstance(item["result"], Exception):
+            raise item["result"]
+        pred, conf, overlay, text = item["result"]
         return {
             "prediction": pred,
             "confidence": conf,
@@ -102,7 +153,8 @@ class InferenceServer:
                     seg = server.pipeline._seg
                     self._send(200, {"status": "ok", "models": {
                         "classification": cls[0] if cls else None,
-                        "segmentation": seg[0] if seg else None}})
+                        "segmentation": seg[0] if seg else None},
+                        "batching": dict(server.stats)})
                 else:
                     self._send(404, {"error": "not found"})
 

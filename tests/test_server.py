@@ -71,3 +71,51 @@ def test_server_bad_request():
         assert ei.value.code == 400
     finally:
         httpd.shutdown()
+
+
+def test_server_micro_batching_concurrent(tmp_path, rng_np):
+    """Concurrent requests within the window ride ONE pipeline forward
+    (stats.max_batch > 1) and all receive valid, independent responses."""
+    PIL = pytest.importorskip("PIL.Image")
+    import threading
+
+    model = get_model("ResNet18")["factory"]()
+    variables = model.init(jax.random.key(0),
+                           np.zeros((1, 64, 64, 3), np.float32))
+    ckpt.save_best(str(tmp_path / "classification_models"), "ResNet18", False,
+                   variables["params"], variables.get("batch_stats", {}))
+
+    server = InferenceServer(EvalConfig(weights_root=str(tmp_path)))
+    # widen the window so the (slow, single-core CI) threads land together
+    server.BATCH_WINDOW_S = 0.5
+    httpd, port = server.start_background()
+    try:
+        def make_payload(i):
+            img = rng_np.integers(0, 256, (64, 64, 3), np.uint8)
+            buf = io.BytesIO()
+            PIL.fromarray(img).save(buf, format="PNG")
+            return json.dumps({
+                "image": base64.b64encode(buf.getvalue()).decode(),
+            }).encode()
+
+        outs = [None] * 4
+        def post(i, data):
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{port}/predict", data=data,
+                headers={"Content-Type": "application/json"})
+            with urllib.request.urlopen(req, timeout=600) as resp:
+                outs[i] = json.loads(resp.read())
+
+        threads = [threading.Thread(target=post, args=(i, make_payload(i)))
+                   for i in range(4)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        for out in outs:
+            assert out is not None
+            assert out["prediction"] in ("COVID", "Healthy", "Non-COVID")
+        assert server.stats["requests"] == 4
+        assert server.stats["max_batch"] >= 2, server.stats
+    finally:
+        httpd.shutdown()
