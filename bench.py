@@ -237,7 +237,7 @@ def bench_zoo(small: bool):
 
         steps = 2 if small else 10
         wall(1 if small else 2)  # compile+warmup
-        ips = batch * steps / min(wall(steps), wall(steps))
+        ips = batch * steps / min(wall(steps) for _ in range(3))
         out[name] = round(ips, 1)
         print(f"[bench] zoo {name}: {ips:.0f} img/s (B={batch} @{size})",
               file=sys.stderr)

@@ -131,3 +131,18 @@ def test_batch_loader_device_cache_budget_fallback():
                          device_cache_budget=16)  # arrays exceed 16 bytes
     assert not loader.device_cache
     assert sum(len(np.asarray(l)) for _, l in loader) == 10
+
+
+def test_batch_loader_device_cache_yields_to_late_sharding():
+    """train_model assigns loader.sharding AFTER construction for mesh runs;
+    the device cache must stand down at iteration time so batches get the
+    sharded placement."""
+    import jax
+
+    ds = synthetic_cls(n=8, img_size=8)
+    loader = BatchLoader(ds, 4, shuffle=False, device_cache=True)
+    assert loader.device_cache
+    sharding = jax.sharding.SingleDeviceSharding(jax.devices()[-1])
+    loader.sharding = sharding
+    for images, _ in loader:
+        assert images.sharding == sharding  # host path honored the sharding
