@@ -74,19 +74,19 @@ def finetune_clipseg(
                              method="bilinear")
         return x, m[..., 0]
 
-    # jax.checkpoint here is load-bearing beyond memory: the un-remat'd
-    # CLIPSeg backward graph crashes XLA's TPU fusion-cost pass (SIGILL in
-    # TpuPriorityFusionQueue on the v5e toolchain); remat changes the fusion
-    # landscape and compiles cleanly.
-    apply_remat = jax.checkpoint(
-        lambda p, x, c: model.apply({"params": p}, x, cond=c))
+    # r1 needed jax.checkpoint here: the un-remat'd backward SIGILLed XLA's
+    # TpuPriorityFusionQueue on that v5e toolchain.  Re-tested r2: the
+    # current toolchain compiles the plain backward cleanly in ~19s (the
+    # remat'd graph had grown to a 7+ min compile) and the step runs 36%
+    # faster (540 vs 398 img/s at B=8/352px) — workaround removed; if a
+    # future toolchain regresses, wrap model.apply in jax.checkpoint again.
 
     @jax.jit
     def train_step(params, opt_state, images_u8, masks_u8):
         def loss_fn(p):
             x, m = prep(images_u8, masks_u8)
             c = jnp.broadcast_to(cond, (x.shape[0], cond.shape[-1]))
-            logits = apply_remat(p, x, c)
+            logits = model.apply({"params": p}, x, cond=c)
             return combined_loss(logits, m, cfg.bce_weight, cfg.dice_weight)
 
         loss, grads = jax.value_and_grad(loss_fn)(params)
