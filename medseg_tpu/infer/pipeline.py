@@ -97,7 +97,9 @@ class Pipeline:
                 x, _ = preprocess_eval_batch(images_u8)
                 return model.apply(variables, x)
 
-        return lambda images_u8: step(variables, images_u8)
+        fn = lambda images_u8: step(variables, images_u8)  # noqa: E731
+        fn.jitted = step  # exposed so warmup tests can assert no new compiles
+        return fn
 
     def _build_seg_fn(self, name: str, variables):
         model = get_model(name)["factory"]()
@@ -123,7 +125,9 @@ class Pipeline:
                     logits = logits[..., None]
                 return jax.nn.sigmoid(logits.astype(jnp.float32))
 
-        return lambda images_u8: step(variables, images_u8)
+        fn = lambda images_u8: step(variables, images_u8)  # noqa: E731
+        fn.jitted = step
+        return fn
 
     # ------------------------------------------------------------------
     def _load_models(self, classification_name: str, segmentation_name: str):

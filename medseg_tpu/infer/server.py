@@ -52,68 +52,99 @@ class InferenceServer:
     amortizes the per-dispatch relay latency)."""
 
     BATCH_WINDOW_S = 0.010
+    # ceiling on one queued request's wall time: covers a worst-case first
+    # remote compile if the server runs un-warmed; expired waits return 503
+    # instead of deadlocking the handler thread forever
+    REQUEST_TIMEOUT_S = 1800.0
 
     def __init__(self, cfg: EvalConfig = EvalConfig(), **pipeline_kwargs):
         self.pipeline = Pipeline(cfg, **pipeline_kwargs)
         self.lock = threading.Lock()  # jit-cached pipeline is single-stream
         self._queue: queue.Queue = queue.Queue()
-        self.stats = {"requests": 0, "batches": 0, "max_batch": 0}
+        self.stats = {"requests": 0, "batches": 0, "max_batch": 0,
+                      "worker_errors": 0}
         self._worker = threading.Thread(target=self._worker_loop, daemon=True)
         self._worker.start()
 
     def _worker_loop(self):
+        # The ENTIRE iteration body is fenced: an exception anywhere
+        # (bucketing, a hung-then-failed forward, a bug) must fail the
+        # in-flight group, not kill the single worker thread — a dead worker
+        # would silently deadlock every subsequent request.
         while True:
             group = [self._queue.get()]
-            deadline = time.time() + self.BATCH_WINDOW_S
-            while len(group) < Pipeline.MAX_BATCH:
-                remaining = deadline - time.time()
-                if remaining <= 0:
-                    break
-                try:
-                    group.append(self._queue.get(timeout=remaining))
-                except queue.Empty:
-                    break
-            # one forward per (models, opacity)-compatible bucket
-            buckets = defaultdict(list)
-            for item in group:
-                buckets[item["key"]].append(item)
-            self.stats["batches"] += len(buckets)
-            for (cls_name, seg_name, opacity), items in buckets.items():
-                self.stats["max_batch"] = max(self.stats["max_batch"],
-                                              len(items))
-                self.stats["requests"] += len(items)
-                try:
-                    with self.lock:
-                        self.pipeline._load_models(cls_name, seg_name)
-                        outs = self.pipeline.process_batch(
-                            [it["img"] for it in items], seg_name,
-                            overlay_opacity=opacity)
-                except Exception as e:  # noqa: BLE001
-                    outs = [e] * len(items)
-                for item, out in zip(items, outs):
-                    item["result"] = out
-                    item["event"].set()
+            try:
+                deadline = time.time() + self.BATCH_WINDOW_S
+                while len(group) < Pipeline.MAX_BATCH:
+                    remaining = deadline - time.time()
+                    if remaining <= 0:
+                        break
+                    try:
+                        group.append(self._queue.get(timeout=remaining))
+                    except queue.Empty:
+                        break
+                # one forward per (models, opacity)-compatible bucket
+                buckets = defaultdict(list)
+                for item in group:
+                    buckets[item["key"]].append(item)
+                self.stats["batches"] += len(buckets)
+                for (cls_name, seg_name, opacity), items in buckets.items():
+                    self.stats["max_batch"] = max(self.stats["max_batch"],
+                                                  len(items))
+                    self.stats["requests"] += len(items)
+                    try:
+                        with self.lock:
+                            self.pipeline._load_models(cls_name, seg_name)
+                            outs = self.pipeline.process_batch(
+                                [it["img"] for it in items], seg_name,
+                                overlay_opacity=opacity)
+                    except Exception as e:  # noqa: BLE001
+                        self.stats["worker_errors"] += 1
+                        outs = [e] * len(items)
+                    for item, out in zip(items, outs):
+                        item["result"] = out
+                        item["event"].set()
+            except Exception as e:  # noqa: BLE001 — outer fence
+                self.stats["worker_errors"] += 1
+                for item in group:
+                    if not item["event"].is_set():
+                        item["result"] = e
+                        item["event"].set()
 
     def warmup(self, cls_name: str = "ResNet18", seg_name: str = "ResNetUnet",
-               log=print):
+               batch_sizes=None, log=print):
         """Load the default model pair and trace/compile their jitted
-        forwards on a dummy image BEFORE accepting traffic — first-request
-        latency drops from minutes (remote compile) to the steady-state
-        single-image time."""
-        import time
+        forwards for EVERY micro-batch shape the server can route to,
+        BEFORE accepting traffic.
 
+        `Pipeline._pad_pow2` sends concurrent groups to B in {1,2,4,8}
+        programs; warming only B=1 (the r2 behavior) left the first real
+        burst paying up to three remote compiles (minutes each through the
+        tunnel).  Default: all powers of two up to Pipeline.MAX_BATCH, both
+        models — after this, a full 8-concurrent burst triggers zero new
+        compiles (asserted by tests/test_server.py)."""
+        if batch_sizes is None:
+            batch_sizes = []
+            b = 1
+            while b <= Pipeline.MAX_BATCH:
+                batch_sizes.append(b)
+                b *= 2
         t0 = time.time()
         with self.lock:
             p = self.pipeline
             p._load_models(cls_name, seg_name)
-            batch = np.zeros((1, 64, 64, 3), np.uint8)
-            # drive BOTH jitted forwards directly: process_image only reaches
-            # the segmentation fn behind the COVID cascade gate
-            p._predict_classification(
-                p._to_grid(batch, *p.input_grid(cls_name)))
-            p._predict_segmentation(
-                p._to_grid(batch, *p.input_grid(seg_name)))
-        log(f"[serve] warmup ({cls_name}+{seg_name}) done in "
+            for b in batch_sizes:
+                tb = time.time()
+                batch = np.zeros((b, 64, 64, 3), np.uint8)
+                # drive BOTH jitted forwards directly: process_image only
+                # reaches the segmentation fn behind the COVID cascade gate
+                p._predict_classification(
+                    p._to_grid(batch, *p.input_grid(cls_name)))
+                p._predict_segmentation(
+                    p._to_grid(batch, *p.input_grid(seg_name)))
+                log(f"[serve] warmup B={b} ({cls_name}+{seg_name}) "
+                    f"{time.time() - tb:.1f}s")
+        log(f"[serve] warmup done: B={batch_sizes} for both models in "
             f"{time.time() - t0:.1f}s")
 
     def handle_predict(self, payload: dict) -> dict:
@@ -124,7 +155,9 @@ class InferenceServer:
         item = {"img": img, "key": (cls_name, seg_name, opacity),
                 "event": threading.Event(), "result": None}
         self._queue.put(item)
-        item["event"].wait()
+        if not item["event"].wait(timeout=self.REQUEST_TIMEOUT_S):
+            raise TimeoutError(
+                f"inference did not complete within {self.REQUEST_TIMEOUT_S:.0f}s")
         if isinstance(item["result"], Exception):
             raise item["result"]
         pred, conf, overlay, text = item["result"]
@@ -166,6 +199,8 @@ class InferenceServer:
                     n = int(self.headers.get("Content-Length", 0))
                     payload = json.loads(self.rfile.read(n))
                     self._send(200, server.handle_predict(payload))
+                except TimeoutError as e:
+                    self._send(503, {"error": str(e)})
                 except Exception as e:  # noqa: BLE001
                     self._send(400, {"error": str(e)})
 

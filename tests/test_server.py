@@ -73,6 +73,86 @@ def test_server_bad_request():
         httpd.shutdown()
 
 
+def test_server_warmup_covers_all_burst_shapes(tmp_path, rng_np):
+    """After warmup, a full MAX_BATCH concurrent burst triggers ZERO new
+    jit compiles: warmup pre-compiles every power-of-two batch shape that
+    Pipeline._pad_pow2 can route a group to (r2 only warmed B=1, so the
+    first real burst paid up to three remote compiles — VERDICT r2 weak #5)."""
+    from medseg_tpu.infer.pipeline import Pipeline
+
+    for name, seg in (("ResNet18", False), ("AttentionUNet", True)):
+        model = get_model(name)["factory"]()
+        variables = model.init(jax.random.key(0),
+                               np.zeros((1, 64, 64, 3), np.float32))
+        sub = "segmentation_models" if seg else "classification_models"
+        ckpt.save_best(str(tmp_path / sub), name, seg, variables["params"],
+                       variables.get("batch_stats", {}))
+
+    server = InferenceServer(EvalConfig(weights_root=str(tmp_path)))
+    server.warmup(cls_name="ResNet18", seg_name="AttentionUNet", log=lambda *_: None)
+
+    p = server.pipeline
+    n_cls, n_seg = p._cls[2].jitted._cache_size(), p._seg[2].jitted._cache_size()
+    expected = len([b for b in (1, 2, 4, 8) if b <= Pipeline.MAX_BATCH])
+    assert n_cls == expected and n_seg == expected, (n_cls, n_seg)
+
+    # full-width burst straight through the micro-batching queue
+    imgs = [rng_np.integers(0, 256, (64, 64, 3), np.uint8)
+            for _ in range(Pipeline.MAX_BATCH)]
+    outs = p.process_batch(imgs, "AttentionUNet")
+    assert len(outs) == Pipeline.MAX_BATCH
+    assert p._cls[2].jitted._cache_size() == n_cls
+    assert p._seg[2].jitted._cache_size() == n_seg
+
+
+def test_server_worker_survives_malformed_item_and_timeout(tmp_path):
+    """The single worker thread must outlive any exception (a dead worker
+    deadlocks every later request), and a stalled forward must surface as
+    HTTP 503, not an eternal handler hang (advisor r2 low #3)."""
+    import time as _time
+
+    server = InferenceServer(EvalConfig(weights_root=str(tmp_path)))
+
+    # 1) outer-fence survival: an item missing "key" explodes in bucketing
+    import threading
+    bad = {"img": None, "event": threading.Event(), "result": None}
+    server._queue.put(bad)
+    assert bad["event"].wait(timeout=10)
+    assert isinstance(bad["result"], Exception)
+    assert server.stats["worker_errors"] == 1
+    assert server._worker.is_alive()
+
+    # 2) request timeout -> TimeoutError -> HTTP 503 mapping
+    server.pipeline._load_models = lambda *a, **k: None
+    server.pipeline.process_batch = (
+        lambda imgs, *a, **k: (_time.sleep(1.0),
+                               [("Healthy", 50.0, None, "ok")] * len(imgs))[1])
+    server.REQUEST_TIMEOUT_S = 0.05
+    png = base64.b64encode(_tiny_png()).decode()
+    httpd, port = server.start_background()
+    try:
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/predict",
+            data=json.dumps({"image": png}).encode(),
+            headers={"Content-Type": "application/json"})
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen(req, timeout=30)
+        assert ei.value.code == 503
+        # after the stall clears, the same server still answers
+        server.REQUEST_TIMEOUT_S = 30.0
+        with urllib.request.urlopen(req.full_url, data=req.data, timeout=30) as resp:
+            assert json.loads(resp.read())["prediction"] == "Healthy"
+    finally:
+        httpd.shutdown()
+
+
+def _tiny_png() -> bytes:
+    PIL = pytest.importorskip("PIL.Image")
+    buf = io.BytesIO()
+    PIL.fromarray(np.zeros((8, 8, 3), np.uint8)).save(buf, format="PNG")
+    return buf.getvalue()
+
+
 def test_server_micro_batching_concurrent(tmp_path, rng_np):
     """Concurrent requests within the window ride ONE pipeline forward
     (stats.max_batch > 1) and all receive valid, independent responses."""
