@@ -108,6 +108,15 @@ def augment_batch(
     the gather warp), elsewhere the XLA formulation; both are
     distribution-equivalent to the exact warp (sub-pixel smoothing only).
     Set False for the bit-exact single-pass gather warp.
+
+    Backend divergence (documented train-time smoothing): on the fused TPU
+    path masks warp BILINEARLY and are thresholded analytically (exactly
+    equivalent to nearest except within half a pixel of region edges),
+    while the XLA/CPU fallback warps masks with true nearest sampling — so
+    the same (rng, batch) can differ on edge pixels across backends.
+    Training-metric parity is unaffected (distributions match; the
+    reference's Albumentations chain has its own resampling smoothing);
+    cross-backend bit-reproducibility of masks is explicitly NOT a contract.
     """
     from medseg_tpu.ops.warp_fast import (fast_warp_supports,
                                           photometric_threshold_ok,
