@@ -4,9 +4,14 @@
 Primary metric (BASELINE.json north-star): 256x256 images/sec/chip for the
 full device inference pipeline (uint8 batch -> fused Pallas augmentation ->
 ResNet18 bfloat16 forward -> prediction).  The same JSON line also carries
-`train_images_per_sec`: the full training step (fused augment + forward +
-backward + AdamW update, stage-2 all-trainable optimizer) — the workload the
-reference actually spends its life in (utils/helpers.py:317-337).
+`train_images_per_sec` (the full fused train step — the workload the
+reference spends its life in, utils/helpers.py:317-337),
+`seg_train_images_per_sec`, `seg_e2e_images_per_sec` (fused 4-plane aug +
+ResNetUnet forward + threshold), a `zoo` dict (inference sweep over all 10
+models — the surface of reference utils/tester.py:513), and
+`compile_seconds` (per-program lower+compile wall time, measured via AOT
+`jit(...).lower(...).compile()` so compilation is cleanly separated from
+execution — added r3 to settle the r2 warp-compile-time discrepancy).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...} where
 vs_baseline is value / 5000 (the >=5k img/s/chip target).
@@ -14,9 +19,10 @@ vs_baseline is value / 5000 (the >=5k img/s/chip target).
 Timing notes: on the axon-tunneled TPU, `block_until_ready` returns before
 execution (demand-driven); throughput is therefore measured as wall time of
 K dispatched steps forced by a single scalar fetch, which bounds dispatch +
-device time from above.  BENCH_SMALL=1 runs a tiny CPU smoke config.
-BENCH_ZOO=1 additionally sweeps inference throughput over the whole model
-zoo (slow: one compile per model) and adds a "zoo" dict.
+device time from above.  Single windows through the relay can read 5-10x
+steady state, so every number is best-of-3.  BENCH_SMALL=1 runs a tiny CPU
+smoke config.  BENCH_NO_ZOO=1 skips the zoo sweep (it is ON by default —
+the driver-run artifact must regress all 10 models, VERDICT r2 weak #3).
 """
 
 import json
@@ -28,11 +34,21 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+COMPILE_SECONDS = {}
 
-def _wall(fn_steps) -> float:
+
+def _aot(name: str, jitfn, *args):
+    """AOT-compile `jitfn` for `args`, recording wall lower+compile time.
+
+    Returns the Compiled object: callers run it directly so the measured
+    compile is the only one paid (calling the jit wrapper afterwards would
+    compile a second cache entry)."""
     t0 = time.perf_counter()
-    fn_steps()
-    return time.perf_counter() - t0
+    compiled = jitfn.lower(*args).compile()
+    dt = time.perf_counter() - t0
+    COMPILE_SECONDS[name] = round(dt, 1)
+    print(f"[bench] compile {name}: {dt:.1f}s", file=sys.stderr)
+    return compiled
 
 
 def bench_inference(small: bool):
@@ -54,6 +70,11 @@ def bench_inference(small: bool):
     variables = model.init({"params": rng, "dropout": rng}, init_x)
 
     @jax.jit
+    def aug_only(key, images_u8):
+        x, _ = augment_batch(key, images_u8, out_dtype=jnp.bfloat16)
+        return x.astype(jnp.float32).sum()
+
+    @jax.jit
     def pipeline_step(variables, key, images_u8):
         x, _ = augment_batch(key, images_u8, out_dtype=jnp.bfloat16)
         logits = model.apply(variables, x)
@@ -63,9 +84,17 @@ def bench_inference(small: bool):
         np.random.default_rng(0).integers(0, 256, (batch, size, size, 3),
                                           dtype=np.uint8))
 
+    # compile the aug-only program FIRST: its time isolates the Pallas warp
+    # kernel's compile cost from the fused aug+model program's (r2 left a 963s
+    # artifact vs a ~150s doc claim unexplained; this instruments the split)
+    key0 = jax.random.key(0)
+    _aot("aug_only_warp_B%d" % batch, aug_only, key0, images)
+    step_c = _aot("infer_fused_aug+resnet18_B%d" % batch, pipeline_step,
+                  variables, key0, images)
+
     def wall(k: int, key0: int) -> float:
         t0 = time.perf_counter()
-        outs = [pipeline_step(variables, jax.random.key(key0 + i), images)
+        outs = [step_c(variables, jax.random.key(key0 + i), images)
                 for i in range(k)]
         total = jnp.stack([o.sum().astype(jnp.float32) for o in outs]).sum()
         float(total)  # force full execution through the demand-driven runtime
@@ -73,7 +102,7 @@ def bench_inference(small: bool):
 
     t0 = time.perf_counter()
     wall(warmup, key0=0)
-    print(f"[bench] infer compile+warmup {time.perf_counter() - t0:.1f}s",
+    print(f"[bench] infer warmup (post-compile) {time.perf_counter() - t0:.1f}s",
           file=sys.stderr)
     # best of 3 windows: single-window readings through the demand-driven
     # relay occasionally report 5-10x the steady-state time
@@ -115,20 +144,24 @@ def bench_training(small: bool):
     labels = jax.device_put(
         np.random.default_rng(1).integers(0, 3, (batch,), dtype=np.int32))
 
+    k0, k1 = jax.random.key(0), jax.random.key(10_000)
+    step_c = _aot("train_fused_resnet18_B%d" % batch, train_step,
+                  state, images, labels, k0, k1)
+
     def run(k: int, key0: int, state):
         t0 = time.perf_counter()
         loss_acc = jnp.zeros((), jnp.float32)
         for i in range(k):
-            state, loss, _ = train_step(state, images, labels,
-                                        jax.random.key(key0 + i),
-                                        jax.random.key(key0 + 10_000 + i))
+            state, loss, _ = step_c(state, images, labels,
+                                    jax.random.key(key0 + i),
+                                    jax.random.key(key0 + 10_000 + i))
             loss_acc = loss_acc + loss
         float(loss_acc)
         return time.perf_counter() - t0, state
 
     t0 = time.perf_counter()
     _, state = run(warmup, 0, state)
-    print(f"[bench] train compile+warmup {time.perf_counter() - t0:.1f}s",
+    print(f"[bench] train warmup (post-compile) {time.perf_counter() - t0:.1f}s",
           file=sys.stderr)
     best = 1e18
     for r in range(3):
@@ -171,25 +204,73 @@ def bench_training_seg(small: bool):
     masks = jax.device_put((np.random.default_rng(1).random(
         (batch, size, size)) > 0.5).astype(np.uint8) * 255)
 
+    k0, k1 = jax.random.key(0), jax.random.key(10_000)
+    step_c = _aot("seg_train_attunet_B%d" % batch, train_step,
+                  state, images, masks, k0, k1)
+
     def run(k: int, key0: int, state):
         t0 = time.perf_counter()
         acc = jnp.zeros((), jnp.float32)
         for i in range(k):
-            state, loss = train_step(state, images, masks,
-                                     jax.random.key(key0 + i),
-                                     jax.random.key(key0 + 10_000 + i))
+            state, loss = step_c(state, images, masks,
+                                 jax.random.key(key0 + i),
+                                 jax.random.key(key0 + 10_000 + i))
             acc = acc + loss
         float(acc)
         return time.perf_counter() - t0, state
 
     t0 = time.perf_counter()
     _, state = run(warmup, 0, state)
-    print(f"[bench] seg train compile+warmup {time.perf_counter() - t0:.1f}s",
-          file=sys.stderr)
     best = 1e18
     for r in range(3):
         t, state = run(steps, 100 + 50 * r, state)
         best = min(best, t)
+    return batch * steps / best
+
+
+def bench_seg_e2e(small: bool):
+    """Segmentation end-to-end inference: fused 4-plane augment (image +
+    mask, as a seg eval epoch runs it) + ResNetUnet bf16 forward + 0.5
+    threshold — the seg counterpart of the headline cls e2e number."""
+    from medseg_tpu.core.registry import get_model
+    from medseg_tpu.ops.augment import augment_batch
+
+    batch = 8 if small else 128
+    size = 64 if small else 256
+    steps = 2 if small else 10
+    warmup = 1 if small else 2
+
+    model = get_model("ResNetUnet")["factory"](dtype=jnp.bfloat16)
+    rng = jax.random.key(0)
+    variables = model.init({"params": rng, "dropout": rng},
+                           jnp.zeros((1, size, size, 3), jnp.float32))
+
+    @jax.jit
+    def step(variables, key, images_u8, masks_u8):
+        x, m = augment_batch(key, images_u8, masks_u8,
+                             out_dtype=jnp.bfloat16)
+        logits = model.apply(variables, x)
+        pred = jax.nn.sigmoid(logits.astype(jnp.float32)) > 0.5
+        return pred.sum() + m.astype(jnp.float32).sum()
+
+    images = jax.device_put(np.random.default_rng(0).integers(
+        0, 256, (batch, size, size, 3), dtype=np.uint8))
+    masks = jax.device_put((np.random.default_rng(1).random(
+        (batch, size, size)) > 0.5).astype(np.uint8) * 255)
+
+    key0 = jax.random.key(0)
+    step_c = _aot("seg_e2e_aug+resnetunet_B%d" % batch, step,
+                  variables, key0, images, masks)
+
+    def wall(k: int, key0: int) -> float:
+        t0 = time.perf_counter()
+        outs = [step_c(variables, jax.random.key(key0 + i), images, masks)
+                for i in range(k)]
+        float(jnp.stack(outs).sum())
+        return time.perf_counter() - t0
+
+    wall(warmup, key0=0)
+    best = min(wall(steps, key0=100 + 50 * r) for r in range(3))
     return batch * steps / best
 
 
@@ -200,7 +281,9 @@ ZOO = (("ResNet18", 384, 256), ("ResNet50", 384, 256), ("VGG16", 256, 256),
 
 
 def bench_zoo(small: bool):
-    """Inference throughput sweep over the whole zoo (BENCH_ZOO=1)."""
+    """Inference throughput sweep over the whole 10-model zoo (the surface
+    of reference utils/tester.py:513).  ON by default since r3 so the
+    driver-recorded artifact regresses every model; BENCH_NO_ZOO=1 skips."""
     from medseg_tpu.core.registry import get_model
 
     out = {}
@@ -227,16 +310,18 @@ def bench_zoo(small: bool):
         x = jax.device_put(np.random.default_rng(0).standard_normal(
             (batch, size, size, 3)).astype(np.float32))
 
+        fwd_c = _aot("zoo_%s_B%d" % (name, batch), fwd, variables, x)
+
         def wall(k):
             t0 = time.perf_counter()
-            outs = [fwd(variables, x) for _ in range(k)]
+            outs = [fwd_c(variables, x) for _ in range(k)]
             total = jnp.stack(
                 [o.astype(jnp.float32).sum() for o in outs]).sum()
             float(total)
             return time.perf_counter() - t0
 
         steps = 2 if small else 10
-        wall(1 if small else 2)  # compile+warmup
+        wall(1 if small else 2)  # warmup (post-compile)
         ips = batch * steps / min(wall(steps) for _ in range(3))
         out[name] = round(ips, 1)
         print(f"[bench] zoo {name}: {ips:.0f} img/s (B={batch} @{size})",
@@ -255,6 +340,7 @@ def main():
     infer_ips = bench_inference(small)
     train_ips = bench_training(small)
     seg_train_ips = bench_training_seg(small)
+    seg_e2e_ips = bench_seg_e2e(small)
 
     result = {
         "metric": "images/sec/chip end-to-end (aug+infer, 256px, ResNet18 bf16)",
@@ -268,9 +354,13 @@ def main():
         "seg_train_metric": "images/sec/chip seg train step "
                             "(fused aug+fwd+bwd+AdamW, 256px, "
                             "AttentionUNet bf16 BCE)",
+        "seg_e2e_images_per_sec": round(seg_e2e_ips, 1),
+        "seg_e2e_metric": "images/sec/chip seg end-to-end "
+                          "(fused 4-plane aug + ResNetUnet bf16 + threshold)",
     }
-    if os.environ.get("BENCH_ZOO") == "1":
+    if os.environ.get("BENCH_NO_ZOO") != "1":
         result["zoo"] = bench_zoo(small)
+    result["compile_seconds"] = COMPILE_SECONDS
     print(json.dumps(result))
 
 
