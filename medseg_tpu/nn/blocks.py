@@ -55,8 +55,42 @@ def adaptive_avg_pool(x, out_h: int, out_w: int):
     return x
 
 
+class _Dot1x1(nn.Module):
+    """A 1x1 convolution lowered as a channel-contraction einsum.
+
+    Parameter tree is identical to ``nn.Conv(features, (1, 1))`` — kernel
+    [1, 1, C_in, C_out] + optional bias — so checkpoints/converters are
+    unaffected; only the HLO changes (dot_general instead of convolution).
+    Motivation: XLA lowers a C_out=1 convolution onto the MXU with 127/128
+    output lanes padded away; expressing it as a contraction lets the
+    compiler fuse it into the surrounding elementwise ops.  Measured on
+    v5e (PERF.md "Segmentation backward"): the AttentionGate psi step drops
+    from 31.6 to 27.9 ms f+b at att2 scale (B=64, 256px)."""
+
+    features: int
+    use_bias: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (1, 1, x.shape[-1], self.features), jnp.float32)
+        y = jnp.einsum("bhwc,co->bhwo", x.astype(self.dtype),
+                       kernel[0, 0].astype(self.dtype))
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros,
+                              (self.features,), jnp.float32)
+            y = y + bias.astype(self.dtype)
+        return y
+
+
 class ConvBN(nn.Module):
-    """Conv (torch-style explicit padding) + BatchNorm, optional ReLU."""
+    """Conv (torch-style explicit padding) + BatchNorm, optional ReLU.
+
+    ``as_dot=True`` (valid only for kernel=1, stride=1, padding=0) lowers
+    the conv as a channel einsum with an unchanged param tree — see
+    ``_Dot1x1``; used by AttentionGate's psi projection."""
 
     features: int
     kernel: int = 3
@@ -64,19 +98,26 @@ class ConvBN(nn.Module):
     padding: int = 1
     use_bias: bool = True
     relu: bool = True
+    as_dot: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        x = nn.Conv(
-            self.features,
-            (self.kernel, self.kernel),
-            strides=(self.stride, self.stride),
-            padding=((self.padding, self.padding), (self.padding, self.padding)),
-            use_bias=self.use_bias,
-            dtype=self.dtype,
-            name="conv",
-        )(x)
+        if self.as_dot:
+            assert (self.kernel, self.stride, self.padding) == (1, 1, 0), \
+                "as_dot requires a pointwise conv"
+            x = _Dot1x1(self.features, use_bias=self.use_bias,
+                        dtype=self.dtype, name="conv")(x)
+        else:
+            x = nn.Conv(
+                self.features,
+                (self.kernel, self.kernel),
+                strides=(self.stride, self.stride),
+                padding=((self.padding, self.padding), (self.padding, self.padding)),
+                use_bias=self.use_bias,
+                dtype=self.dtype,
+                name="conv",
+            )(x)
         x = nn.BatchNorm(
             use_running_average=not train,
             momentum=0.9,
@@ -129,7 +170,8 @@ class AttentionGate(nn.Module):
         g1 = ConvBN(self.f_int, kernel=1, padding=0, relu=False, dtype=self.dtype, name="w_g")(g, train)
         x1 = ConvBN(self.f_int, kernel=1, padding=0, relu=False, dtype=self.dtype, name="w_x")(x, train)
         psi = nn.relu(g1 + x1)
-        psi = ConvBN(1, kernel=1, padding=0, relu=False, dtype=self.dtype, name="psi")(psi, train)
+        psi = ConvBN(1, kernel=1, padding=0, relu=False, as_dot=True,
+                     dtype=self.dtype, name="psi")(psi, train)
         psi = nn.sigmoid(psi)
         return x * psi
 
