@@ -124,17 +124,27 @@ class ResNetEncoder(nn.Module):
     stem_s2d: bool = False  # expect space-to-depth input (FoldedStem)
 
     @nn.compact
-    def __call__(self, x, train: bool = False, taps: bool = False):
-        if self.stem_s2d:
-            x = FoldedStem(dtype=self.dtype, name="conv1")(x)
+    def __call__(self, x, train: bool = False, taps: bool = False,
+                 skip_stem: bool = False):
+        if skip_stem:
+            # x is already the post-stem pooled map [B, H/4, W/4, 64]
+            # (produced by ops.pallas.stem_kernel via apply_with_pallas_stem;
+            # conv1/bn1 params stay in the tree, untouched).  Incompatible
+            # with taps (ResNetUnet needs the pre-pool e1 activation).
+            assert not taps, "skip_stem cannot provide the pre-pool tap"
+            e1 = None
+            feats = []
         else:
-            x = nn.Conv(64, (7, 7), strides=(2, 2), padding=((3, 3), (3, 3)),
-                        use_bias=False, dtype=self.dtype, name="conv1")(x)
-        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                         epsilon=1e-5, dtype=self.dtype, name="bn1")(x)
-        e1 = nn.relu(x)
-        x = max_pool(e1, 3, 2, padding=1)
-        feats = [e1]
+            if self.stem_s2d:
+                x = FoldedStem(dtype=self.dtype, name="conv1")(x)
+            else:
+                x = nn.Conv(64, (7, 7), strides=(2, 2), padding=((3, 3), (3, 3)),
+                            use_bias=False, dtype=self.dtype, name="conv1")(x)
+            x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                             epsilon=1e-5, dtype=self.dtype, name="bn1")(x)
+            e1 = nn.relu(x)
+            x = max_pool(e1, 3, 2, padding=1)
+            feats = [e1]
         widths = (64, 128, 256, 512)
         expansion = getattr(self.block, "expansion", 1)
         in_ch = 64
@@ -164,9 +174,10 @@ class ResNetClassifier(nn.Module):
     stem_s2d: bool = False
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, skip_stem: bool = False):
         x = ResNetEncoder(self.block, self.stage_sizes, dtype=self.dtype,
-                          stem_s2d=self.stem_s2d, name="encoder")(x, train)
+                          stem_s2d=self.stem_s2d, name="encoder")(
+                              x, train, skip_stem=skip_stem)
         x = global_avg_pool(x).astype(jnp.float32)
         return ClassifierHead(self.num_classes, self.dropout, name="head")(x, train)
 
@@ -186,3 +197,33 @@ def resnet50(num_classes: int = 3, dtype=jnp.float32, **kw) -> ResNetClassifier:
 def resnet50_encoder(dtype=jnp.float32) -> ResNetEncoder:
     """Bare ResNet-50 trunk for the ResNetUnet encoder."""
     return ResNetEncoder(Bottleneck, (3, 4, 6, 3), dtype=dtype)
+
+
+def apply_with_pallas_stem(model: ResNetClassifier, variables, x,
+                           planar: bool = False, interpret: bool = False):
+    """Inference forward with the fused Pallas stem kernel
+    (ops/pallas/stem_kernel.py): folds this checkpoint's bn1 running stats
+    into conv1's weights, runs conv+BN+ReLU+maxpool in one VMEM pass, and
+    feeds the pooled map into the unchanged deep stages via skip_stem.
+
+    x: [B, H, W, 3] model-input images (normalized), or the warp kernel's
+    planar [B, 3H, W] layout when planar=True (the fused aug+infer path —
+    the NHWC transpose never materializes).  B must be even (kernel
+    processes image pairs).  Param tree/checkpoints are untouched; parity
+    with model.apply(variables, x) is tested in tests/test_stem_kernel.py.
+    """
+    from medseg_tpu.ops.pallas.stem_kernel import (fold_bn,
+                                                   pack_weights_paired,
+                                                   stem_conv_pool_pallas)
+
+    enc_p = variables["params"]["encoder"]
+    enc_s = variables["batch_stats"]["encoder"]
+    g, b = fold_bn(enc_p["bn1"]["scale"], enc_p["bn1"]["bias"],
+                   enc_s["bn1"]["mean"], enc_s["bn1"]["var"])
+    w2, b2 = pack_weights_paired(enc_p["conv1"]["kernel"], g, b)
+    if not planar:
+        bsz, h, w, _ = x.shape
+        x = jnp.transpose(x, (0, 3, 1, 2)).reshape(bsz, 3 * h, w)
+    pooled = stem_conv_pool_pallas(x.astype(model.dtype), w2, b2,
+                                   interpret=interpret)
+    return model.apply(variables, pooled, False, skip_stem=True)
