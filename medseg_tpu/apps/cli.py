@@ -222,9 +222,14 @@ def _cmd_finetune_clipseg(args):
 
 
 def _cmd_demo(args):
-    from medseg_tpu.apps.demo import launch_demo
+    from medseg_tpu.apps.demo import launch_builtin_demo, launch_demo
 
-    launch_demo(share=args.share)
+    if args.builtin:
+        launch_builtin_demo(host=args.host, port=args.port,
+                            warmup=not args.no_warmup)
+    else:
+        launch_demo(share=args.share, host=args.host, port=args.port,
+                    warmup=not args.no_warmup)
 
 
 def _cmd_predict(args):
@@ -342,6 +347,11 @@ def main(argv=None):
     add("finetune-clipseg", _cmd_finetune_clipseg)
     sp = add("demo", _cmd_demo)
     sp.add_argument("--share", action="store_true")
+    sp.add_argument("--builtin", action="store_true",
+                    help="force the gradio-free builtin web UI")
+    sp.add_argument("--host", default="127.0.0.1")
+    sp.add_argument("--port", type=int, default=7860)
+    sp.add_argument("--no-warmup", action="store_true")
     sp = add("export-torch", _cmd_export_torch)
     sp.add_argument("model")
     sp.add_argument("--out", default=None)

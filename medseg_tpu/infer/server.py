@@ -60,6 +60,10 @@ class InferenceServer:
     def __init__(self, cfg: EvalConfig = EvalConfig(), **pipeline_kwargs):
         self.pipeline = Pipeline(cfg, **pipeline_kwargs)
         self.lock = threading.Lock()  # jit-cached pipeline is single-stream
+        # optional static GET routes: path -> (content_type, bytes); the
+        # builtin web demo (apps/demo.py) mounts its UI page + stylesheet
+        # here so the demo shares this server's micro-batched /predict
+        self.ui_routes: dict = {}
         self._queue: queue.Queue = queue.Queue()
         self.stats = {"requests": 0, "batches": 0, "max_batch": 0,
                       "worker_errors": 0}
@@ -181,7 +185,14 @@ class InferenceServer:
                 self.wfile.write(data)
 
             def do_GET(self):
-                if self.path == "/health":
+                if self.path in server.ui_routes:
+                    ctype, data = server.ui_routes[self.path]
+                    self.send_response(200)
+                    self.send_header("Content-Type", ctype)
+                    self.send_header("Content-Length", str(len(data)))
+                    self.end_headers()
+                    self.wfile.write(data)
+                elif self.path == "/health":
                     cls = server.pipeline._cls
                     seg = server.pipeline._seg
                     self._send(200, {"status": "ok", "models": {

@@ -68,6 +68,56 @@ def test_handle_hides_overlay_for_non_covid():
     assert out[0] is None and out[2]["visible"] is False
 
 
+def test_builtin_demo_page_surface():
+    """The gradio-free page mirrors the Blocks surface: both model
+    dropdowns, the opacity slider, the handler thresholds (shared
+    CONF_HIGH/CONF_MED constants, so JS and gradio handlers can't drift),
+    the COVID-only overlay rule, and the design.css classes."""
+    from medseg_tpu.apps.demo import (CLS_CHOICES, CONF_HIGH, CONF_MED,
+                                      SEG_CHOICES, builtin_demo_page)
+
+    page = builtin_demo_page()
+    for name in CLS_CHOICES + SEG_CHOICES:
+        assert f"<option{' selected' if name in ('ResNet18', 'ResNetUnet') else ''}>{name}</option>" in page
+    assert 'id="opacity"' in page and 'step="0.05"' in page
+    assert f"out.confidence > {CONF_HIGH} ?" in page
+    assert f"out.confidence > {CONF_MED} ?" in page
+    assert 'out.prediction === "COVID" && out.overlay' in page
+    for cls in ("confidence-high", "confidence-medium", "confidence-low",
+                "primary-button", "results-container", "heading",
+                "upload-image", "diagnosis-text", "accordion"):
+        assert cls in page, cls
+
+
+def test_builtin_demo_served_live():
+    """The builtin demo actually executes: mount it on an InferenceServer
+    and fetch the page + stylesheet over HTTP (the /predict round trip is
+    covered by tests/test_server.py — same endpoint)."""
+    import urllib.request
+
+    from medseg_tpu.apps.demo import attach_builtin_ui
+    from medseg_tpu.core.config import EvalConfig
+    from medseg_tpu.infer.server import InferenceServer
+
+    server = InferenceServer(EvalConfig())
+    attach_builtin_ui(server)
+    httpd, port = server.start_background()
+    try:
+        with urllib.request.urlopen(f"http://127.0.0.1:{port}/",
+                                    timeout=30) as resp:
+            assert resp.headers["Content-Type"].startswith("text/html")
+            page = resp.read().decode()
+        assert "Lungs Radiography Analysis" in page
+        with urllib.request.urlopen(f"http://127.0.0.1:{port}/design.css",
+                                    timeout=30) as resp:
+            assert ".confidence-high" in resp.read().decode()
+        with urllib.request.urlopen(f"http://127.0.0.1:{port}/health",
+                                    timeout=30) as resp:
+            assert b"ok" in resp.read()
+    finally:
+        httpd.shutdown()
+
+
 def test_installer_tree_organization(tmp_path):
     """rename Viral Pneumonia->Non-COVID / Normal->Healthy, drop Lung_Opacity
     + metadata files, move everything into dest (install_dataset.py:32-54)."""
