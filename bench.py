@@ -183,7 +183,10 @@ def bench_training_seg(small: bool):
 
     batch = 4 if small else 16
     size = 64 if small else 256
-    steps = 2 if small else 6
+    # 16-step windows (~1.4 s): 6-step windows at B=16 (~0.5 s) were dominated
+    # by relay dispatch jitter — recorded 118-186 img/s for the same program
+    # depending on host load (r3); longer windows amortize it
+    steps = 2 if small else 16
     warmup = 1 if small else 2
 
     model = get_model("AttentionUNet")["factory"](dtype=jnp.bfloat16)
@@ -333,6 +336,15 @@ def main():
     small = os.environ.get("BENCH_SMALL") == "1"
     if small:
         jax.config.update("jax_platforms", "cpu")
+    else:
+        # persistent compilation cache: a re-run bench process skips most of
+        # the first-execution warmup (measured 490s -> 62s on the headline
+        # program; see medseg_tpu/core/jax_cache.py).  compile_seconds then
+        # reports cache-hit times — cold times are in PERF.md.
+        from medseg_tpu.core.jax_cache import enable_persistent_cache
+
+        cache_dir = enable_persistent_cache()
+        print(f"[bench] persistent compile cache: {cache_dir}", file=sys.stderr)
 
     print(f"[bench] backend={jax.default_backend()} "
           f"devices={len(jax.devices())}", file=sys.stderr)

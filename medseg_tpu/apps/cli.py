@@ -70,7 +70,7 @@ def _loaders(cache_dir: str, task: str, batch_size: int, val_fraction: float,
 
 def _cmd_train(args):
     from medseg_tpu.core.registry import get_model
-    from medseg_tpu.train.trainer import train_model
+    from medseg_tpu.train.trainer import train_model_resilient
 
     cfg = TrainConfig(epochs=args.epochs, lr=args.lr,
                       save_root=args.weights_root,
@@ -94,8 +94,9 @@ def _cmd_train(args):
         train, val = _loaders(args.cache_dir, "seg" if seg else "cls", bs,
                               cfg.val_fraction, device_cache=mesh is None)
         with trace_context(args.profile):
-            res = train_model(name, train, val, cfg, mesh=mesh,
-                              resume=args.resume)
+            res = train_model_resilient(name, train, val, cfg, mesh=mesh,
+                                        resume=args.resume,
+                                        max_restarts=args.auto_restart)
         results[name] = res.best_score
 
     print("\n\n=============== Training Summary ===============")
@@ -306,6 +307,13 @@ def _cmd_bench(args):
 
 
 def main(argv=None):
+    # Persistent XLA compilation cache: restarted serve/eval/train processes
+    # skip recompiling programs they have built before (core/jax_cache.py has
+    # the measured cold-vs-warm numbers; MEDSEG_JAX_CACHE=0 opts out).
+    from medseg_tpu.core.jax_cache import enable_persistent_cache
+
+    enable_persistent_cache()
+
     p = argparse.ArgumentParser(prog="medseg")
     sub = p.add_subparsers(dest="cmd", required=True)
 
@@ -329,6 +337,9 @@ def main(argv=None):
     sp.add_argument("--dtype", default="bfloat16",
                     choices=["bfloat16", "float32"])
     sp.add_argument("--resume", action="store_true")
+    sp.add_argument("--auto-restart", type=int, default=2,
+                    help="max automatic resume-restarts after transient "
+                         "relay/transport runtime failures (0 disables)")
     sp.add_argument("--data-parallel", action="store_true",
                     help="shard batches over all devices (Mesh('data'))")
     sp.add_argument("--profile", default=None,

@@ -18,6 +18,10 @@ from medseg_tpu.train.freeze import (  # noqa: F401
 )
 from medseg_tpu.train import steps  # noqa: F401
 from medseg_tpu.train import checkpoint  # noqa: F401
-from medseg_tpu.train.trainer import TrainResult, train_model  # noqa: F401
+from medseg_tpu.train.trainer import (  # noqa: F401
+    TrainResult,
+    train_model,
+    train_model_resilient,
+)
 from medseg_tpu.train.clip_finetune import finetune_clip  # noqa: F401
 from medseg_tpu.train.clipseg_finetune import finetune_clipseg  # noqa: F401

@@ -49,6 +49,69 @@ class TrainResult:
     state: S.TrainState
 
 
+# Failure signatures of the demand-driven relay/transport layer observed on
+# real hardware (e.g. "INTERNAL: .../remote_compile: read body: response body
+# closed before all bytes were read" killed a run at the stage-2 first
+# compile).  These are retryable: nothing about the program or data is wrong.
+# Deliberately NOT matched: RESOURCE_EXHAUSTED (a real OOM re-fails forever)
+# and anything that is not a runtime error (tracing/shape bugs).
+_TRANSIENT_MARKERS = (
+    "remote_compile",
+    "response body closed",
+    "UNAVAILABLE",
+    "DEADLINE_EXCEEDED",
+    "Connection reset",
+    "Socket closed",
+)
+
+
+def is_transient_runtime_error(e: BaseException) -> bool:
+    """True for runtime failures of the transport/relay layer worth a retry."""
+    if not isinstance(e, jax.errors.JaxRuntimeError):
+        return False
+    msg = str(e)
+    return any(marker in msg for marker in _TRANSIENT_MARKERS)
+
+
+def train_model_resilient(
+    name, train_loader, val_loader, cfg=None, aug_cfg=None, *,
+    max_restarts: int = 2, log: Callable[[str], None] = print, **kw,
+) -> TrainResult:
+    """train_model with automatic restart on transient runtime failures.
+
+    The tunneled TPU runtime can drop a training run with a transport-level
+    JaxRuntimeError (relay restart, remote-compile stream cut) that has
+    nothing to do with the program.  Because every epoch writes a resume
+    checkpoint, the safe recovery is NOT to retry the failed (donated-buffer)
+    step but to re-enter train_model with resume=True — it rebuilds device
+    state from the last epoch boundary, re-initializing optimizers across the
+    stage boundary exactly as a manual `medseg train --resume` would.  The
+    reference has no analogue (a torch crash loses the epoch); this is the
+    failure-detection subsystem of SURVEY.md §5 realized for training.
+
+    Requires save=True (resume checkpoints are the recovery mechanism);
+    non-transient errors and save=False runs re-raise immediately.
+    """
+    cfg = cfg if cfg is not None else TrainConfig()
+    aug_cfg = aug_cfg if aug_cfg is not None else AugmentConfig()
+    resume = kw.pop("resume", False)
+    save = kw.get("save", True)
+    attempt = 0
+    while True:
+        try:
+            return train_model(name, train_loader, val_loader, cfg, aug_cfg,
+                               resume=resume or attempt > 0, log=log, **kw)
+        except jax.errors.JaxRuntimeError as e:
+            attempt += 1
+            if not save or attempt > max_restarts \
+                    or not is_transient_runtime_error(e):
+                raise
+            headline = str(e).splitlines()[0] if str(e) else repr(e)
+            log(f"[WARN] transient runtime failure ({headline}); "
+                f"restarting {name} from the resume checkpoint "
+                f"(attempt {attempt}/{max_restarts})")
+
+
 def _make_aug_fns(seg: bool, aug_cfg: AugmentConfig, compute_dtype):
     """Device-side train/eval preprocessing (uint8 -> model input).
 
