@@ -68,6 +68,17 @@ def _loaders(cache_dir: str, task: str, batch_size: int, val_fraction: float,
     return train, val
 
 
+def _mesh_if(args):
+    """`--data-parallel` -> a 1-D mesh over all devices, else None."""
+    if not getattr(args, "data_parallel", False):
+        return None
+    from medseg_tpu.parallel import data_parallel_mesh
+
+    mesh = data_parallel_mesh()
+    print(f"[INFO] data-parallel over {mesh.size} devices")
+    return mesh
+
+
 def _cmd_train(args):
     from medseg_tpu.core.registry import get_model
     from medseg_tpu.train.trainer import train_model_resilient
@@ -75,17 +86,14 @@ def _cmd_train(args):
     cfg = TrainConfig(epochs=args.epochs, lr=args.lr,
                       save_root=args.weights_root,
                       compute_dtype=args.dtype)
-    mesh = None
-    if args.data_parallel:
-        from medseg_tpu.parallel import data_parallel_mesh
-
-        mesh = data_parallel_mesh()
-        print(f"[INFO] data-parallel over {mesh.size} devices")
+    mesh = _mesh_if(args)
     from medseg_tpu.utils import trace_context
 
     results = {}
+    tasks = {}
     for name in args.models:
         task = get_model(name)["task"]
+        tasks[name] = task
         seg = task == "segmentation"
         bs = args.batch_size or (cfg.seg_batch_size if seg else cfg.cls_batch_size)
         print(f"\n--- Training {task} model: {name} ---")
@@ -100,10 +108,13 @@ def _cmd_train(args):
         results[name] = res.best_score
 
     print("\n\n=============== Training Summary ===============")
+    # Same line formats as reference trainer.py:214-222, but selected by task
+    # instead of name substring: the reference's `"Unet" in k` filter silently
+    # drops AttentionUNet (capital N) from its own summary.
     for k, v in sorted(results.items()):
-        if "ResNet" in k or "VGG" in k:
+        if tasks[k] == "classification":
             print(f"{k:<15}: {v:.2f}% Acc (Classification)")
-        elif "Unet" in k:
+        else:
             print(f"{k:<15}: {v:.4f} Loss (Segmentation)")
     print("================================================")
 
@@ -208,7 +219,8 @@ def _cmd_finetune_clip(args):
     cfg = CLIPFinetuneConfig(save_root=args.weights_root)
     variables, text_features = load_clip_classifier_pretrained()
     train, val = _loaders(args.cache_dir, "cls", cfg.batch_size, 0.1111)
-    finetune_clip(train, val, variables, text_features, cfg)
+    finetune_clip(train, val, variables, text_features, cfg,
+                  mesh=_mesh_if(args))
 
 
 def _cmd_finetune_clipseg(args):
@@ -219,7 +231,7 @@ def _cmd_finetune_clipseg(args):
     cfg = CLIPSegFinetuneConfig(save_root=args.weights_root)
     variables, cond = load_clipseg_pretrained()
     train, val = _loaders(args.cache_dir, "seg", cfg.batch_size, 0.1111)
-    finetune_clipseg(train, val, variables, cond, cfg)
+    finetune_clipseg(train, val, variables, cond, cfg, mesh=_mesh_if(args))
 
 
 def _cmd_demo(args):
@@ -354,8 +366,12 @@ def main(argv=None):
                     help="directory with the reference's published results CSVs")
     sp.add_argument("--tolerance", type=float, default=0.5,
                     help="max |delta| in percentage points")
-    add("finetune-clip", _cmd_finetune_clip)
-    add("finetune-clipseg", _cmd_finetune_clipseg)
+    sp = add("finetune-clip", _cmd_finetune_clip)
+    sp.add_argument("--data-parallel", action="store_true",
+                    help="shard batches over all devices (Mesh('data'))")
+    sp = add("finetune-clipseg", _cmd_finetune_clipseg)
+    sp.add_argument("--data-parallel", action="store_true",
+                    help="shard batches over all devices (Mesh('data'))")
     sp = add("demo", _cmd_demo)
     sp.add_argument("--share", action="store_true")
     sp.add_argument("--builtin", action="store_true",

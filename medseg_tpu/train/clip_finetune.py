@@ -41,13 +41,17 @@ def finetune_clip(
     *,
     seed: int = 0,
     save: bool = True,
+    mesh=None,
     model=None,
     image_size: int = CLIP_IMG_SIZE,
     log: Callable[[str], None] = print,
 ) -> float:
     """variables: CLIPClassifier variables (e.g. converted HF weights);
     text_features: [num_classes, dim] L2-normalized prompt embeddings.
-    model/image_size are injectable for tests with tiny towers."""
+    model/image_size are injectable for tests with tiny towers.
+    mesh: optional `jax.sharding.Mesh` — batches shard over its 'data' axis,
+    params/opt-state/text-features replicate, and XLA inserts the gradient
+    all-reduce (same SPMD design as train/trainer.py, SURVEY.md §2.4)."""
     if model is None:
         model = get_model("CLIP")["factory"]()
     tf = jnp.asarray(text_features, jnp.float32)
@@ -56,6 +60,18 @@ def finetune_clip(
     optimizer = S.build_optimizer(cfg.lr, cfg.weight_decay, cfg.grad_clip_norm, mask)
     opt_state = optimizer.init(variables["params"])
     params = variables["params"]
+
+    if mesh is not None:
+        from medseg_tpu.parallel import batch_sharding, replicated
+
+        train_loader.sharding = batch_sharding(mesh)
+        val_loader.sharding = batch_sharding(mesh)
+        # batches must divide across the data axis; drop ragged tails
+        # (epoch statistics still normalize by the samples actually seen)
+        train_loader.drop_last = True
+        val_loader.drop_last = True
+        params, opt_state, tf = jax.device_put((params, opt_state, tf),
+                                               replicated(mesh))
 
     @jax.jit
     def train_step(params, opt_state, images_u8, labels):

@@ -45,13 +45,17 @@ def finetune_clipseg(
     cfg: CLIPSegFinetuneConfig = CLIPSegFinetuneConfig(),
     *,
     save: bool = True,
+    mesh=None,
     model=None,
     image_size: int = CLIPSEG_IMG_SIZE,
     log: Callable[[str], None] = print,
 ) -> float:
     """variables: CLIPSegModel variables; cond: [1, dim] conditional text
     embedding for the fixed prompt.  model/image_size are injectable for
-    tests with tiny towers."""
+    tests with tiny towers.
+    mesh: optional `jax.sharding.Mesh` — batches shard over its 'data' axis,
+    params/opt-state/cond replicate, and XLA inserts the gradient all-reduce
+    (same SPMD design as train/trainer.py, SURVEY.md §2.4)."""
     if model is None:
         model = get_model("CLIPSeg")["factory"]()
     cond = jnp.asarray(cond, jnp.float32)
@@ -61,6 +65,18 @@ def finetune_clipseg(
     optimizer = S.build_optimizer(cfg.lr, cfg.weight_decay, 1.0, mask)
     opt_state = optimizer.init(variables["params"])
     params = variables["params"]
+
+    if mesh is not None:
+        from medseg_tpu.parallel import batch_sharding, replicated
+
+        train_loader.sharding = batch_sharding(mesh)
+        val_loader.sharding = batch_sharding(mesh)
+        # batches must divide across the data axis; drop ragged tails
+        # (epoch statistics still normalize by the samples actually seen)
+        train_loader.drop_last = True
+        val_loader.drop_last = True
+        params, opt_state, cond = jax.device_put((params, opt_state, cond),
+                                                 replicated(mesh))
 
     def prep(images_u8, masks_u8):
         x = clip_preprocess(images_u8, image_size)
@@ -119,14 +135,16 @@ def finetune_clipseg(
 
         vloss_acc = jnp.zeros((), jnp.float32)
         dice_stack = []
+        val_total = 0  # normalize by samples actually seen (mesh drops tails)
         for images, masks in val_loader:
             loss_sum, dice = eval_step(params, images, masks)
             vloss_acc = vloss_acc + loss_sum
             dice_stack.append(dice)
+            val_total += images.shape[0]
         val_loss = float(vloss_acc)
         val_dice = float(jnp.mean(jnp.stack(dice_stack))) if dice_stack else 0.0
         log(f"[CLIPSeg] Ep{epoch}: TrainLoss {run_loss / max(1, total):.3f} | "
-            f"ValLoss {val_loss / max(1, val_loader.num_samples):.3f} | "
+            f"ValLoss {val_loss / max(1, val_total):.3f} | "
             f"ValDice {val_dice:.3f}")
 
         if stopper.update(val_dice):

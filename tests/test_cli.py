@@ -67,3 +67,27 @@ def test_cli_export_torch_roundtrip(tmp_path, monkeypatch):
     sd = torch.load(out, weights_only=True)
     assert "conv1.weight" in sd and "fc.1.weight" in sd
     assert sd["conv1.weight"].shape == (64, 3, 7, 7)
+
+
+def test_cli_train_summary_lists_every_model(fake_dataset_root, tmp_path,
+                                             capsys, monkeypatch):
+    """The summary must list ALL trained models by task: the reference's
+    `"Unet" in k` name filter silently drops AttentionUNet (capital N) from
+    its own summary (reference trainer.py:218)."""
+    from medseg_tpu.train import trainer as T
+
+    def fake_train(name, train, val, cfg, mesh=None, resume=False,
+                   max_restarts=0, **kw):
+        score = 0.1234 if "U" in name else 91.5
+        return T.TrainResult(name=name, best_score=score, epochs_run=1,
+                             state=None)
+
+    monkeypatch.setattr(T, "train_model_resilient", fake_train)
+    cache = str(tmp_path / "cache")
+    main(["split", "--root", fake_dataset_root])
+    main(["pack", "--root", fake_dataset_root, "--cache-dir", cache])
+    main(["train", "ResNet18", "AttentionUNet", "--epochs", "1",
+          "--cache-dir", cache, "--weights-root", str(tmp_path / "w")])
+    out = capsys.readouterr().out
+    assert "ResNet18       : 91.50% Acc (Classification)" in out
+    assert "AttentionUNet  : 0.1234 Loss (Segmentation)" in out
