@@ -137,7 +137,7 @@ def _cmd_eval(args):
                                  cfg.batch_size // 2, shuffle=False)
     except FileNotFoundError:
         print("[WARNING] Segmentation test cache not found; skipping.")
-    results = test_all_models(cls_loader, seg_loader, cfg)
+    results = test_all_models(cls_loader, seg_loader, cfg, mesh=_mesh_if(args))
     print_summary(results)
     cls_csv = f"{cfg.results_dir}/classification_test_results.csv"
     seg_csv = f"{cfg.results_dir}/segmentation_test_results.csv"
@@ -360,6 +360,9 @@ def main(argv=None):
     sp.add_argument("--batch-size", type=int, default=16)
     sp.add_argument("--compare", default=None,
                     help="directory of reference results CSVs for parity replay")
+    sp.add_argument("--data-parallel", action="store_true",
+                    help="shard eval batches over all devices (Mesh('data'); "
+                         "ragged tails pad+trim, metrics unchanged)")
     sp = add("parity", _cmd_parity)
     sp.add_argument("--batch-size", type=int, default=16)
     sp.add_argument("--reference", default="/root/reference/results",

@@ -20,6 +20,7 @@ from medseg_tpu.data.packed import PackedDataset
 class BatchLoader:
     def __init__(self, ds: PackedDataset, batch_size: int, *, shuffle: bool,
                  seed: int = 0, drop_last: bool = False, sharding=None,
+                 pad_to_multiple: Optional[int] = None,
                  indices: Optional[np.ndarray] = None,
                  device_cache: bool = False,
                  device_cache_budget: int = 8 << 30):
@@ -27,12 +28,19 @@ class BatchLoader:
         serve batches as on-device gathers — removes the per-step 25MB H2D
         transfer from the training critical path entirely (the packed COVID
         dataset is ~4GB u8, comfortably HBM-resident on a 16GB v5e chip).
-        Ignored when a mesh sharding is set or the arrays exceed the budget."""
+        Ignored when a mesh sharding is set or the arrays exceed the budget.
+
+        pad_to_multiple: pad ragged batches up to a multiple of this by
+        repeating the final sample — required for sharded EVAL, where a tail
+        batch must still divide across the mesh's data axis but no sample may
+        be dropped (the consumer trims per-sample outputs back to the real
+        count; see eval/harness.py)."""
         self.ds = ds
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.drop_last = drop_last
         self.sharding = sharding
+        self.pad_to_multiple = pad_to_multiple
         self.indices = np.arange(len(ds)) if indices is None else np.asarray(indices)
         self._rng = np.random.default_rng(seed)
         self._dev = None
@@ -86,6 +94,10 @@ class BatchLoader:
             return
         for start in range(0, stop, bs):
             idx = np.sort(order[start:start + bs])  # sorted gather is faster on memmaps
+            if self.pad_to_multiple:
+                pad = (-len(idx)) % self.pad_to_multiple
+                if pad:
+                    idx = np.concatenate([idx, np.repeat(idx[-1:], pad)])
             images = self._put(np.ascontiguousarray(self.ds.images[idx]))
             if self.ds.masks is not None:
                 target = self._put(np.ascontiguousarray(self.ds.masks[idx]))

@@ -120,6 +120,14 @@ def load_torch_weights(name: str, pt_path):
     raise ValueError(name)
 
 
+def _real_counts(loader: BatchLoader):
+    """Per-batch REAL sample counts: with sharded-eval padding the loader
+    repeats the final sample up to the mesh multiple (loader.py); eval must
+    trim per-sample outputs back so padded rows never enter the metrics."""
+    n, bs = loader.num_samples, loader.batch_size
+    return [min(bs, n - s) for s in range(0, n, bs)]
+
+
 def _eval_classification(model, variables, loader: BatchLoader,
                          extra_inputs: Optional[dict] = None,
                          clip_size: Optional[int] = None):
@@ -142,10 +150,10 @@ def _eval_classification(model, variables, loader: BatchLoader,
     # np.asarray would sync the demand-driven runtime every batch (~70
     # round trips on the real test set); one concatenated fetch instead.
     preds, labels = [], []
-    for images, targets in loader:
+    for (images, targets), n_real in zip(loader, _real_counts(loader)):
         p = step(variables, images, **(extra_inputs or {}))
-        preds.append(p)
-        labels.append(np.asarray(targets))
+        preds.append(p[:n_real])  # trim sharded-eval padding (loader.py)
+        labels.append(np.asarray(targets)[:n_real])
     preds = np.asarray(jnp.concatenate(preds))
     labels = np.concatenate(labels)
     return M.classification_metrics(preds, labels, num_classes=len(CLASSES))
@@ -181,10 +189,10 @@ def _eval_segmentation(model, variables, loader: BatchLoader,
     # per-sample metric vectors accumulate on device; one fetch per metric
     # at the end (see _eval_classification)
     acc: Dict[str, list] = {}
-    for images, masks in loader:
+    for (images, masks), n_real in zip(loader, _real_counts(loader)):
         out = step(variables, images, masks, **(extra_inputs or {}))
         for k, v in out.items():
-            acc.setdefault(k, []).append(v)
+            acc.setdefault(k, []).append(v[:n_real])  # trim sharded padding
     per_sample = {k: np.asarray(jnp.concatenate(v)) for k, v in acc.items()}
     return M.average_segmentation_metrics(per_sample)
 
@@ -192,8 +200,13 @@ def _eval_segmentation(model, variables, loader: BatchLoader,
 def evaluate_model(name: str, loader: BatchLoader, variables=None,
                    cfg: EvalConfig = EvalConfig(),
                    extra_inputs: Optional[dict] = None,
-                   log: Callable[[str], None] = print) -> Optional[Dict]:
-    """Evaluate one model; loads weights if `variables` is None."""
+                   log: Callable[[str], None] = print,
+                   mesh=None) -> Optional[Dict]:
+    """Evaluate one model; loads weights if `variables` is None.
+
+    mesh: optional `jax.sharding.Mesh` — eval batches shard over its 'data'
+    axis (ragged tails pad on the loader and trim off the per-sample outputs,
+    so metrics are bit-identical to the single-device pass; SURVEY.md §2.4)."""
     entry = get_model(name)
     seg = entry["task"] == "segmentation"
     if variables is None:
@@ -205,6 +218,13 @@ def evaluate_model(name: str, loader: BatchLoader, variables=None,
         variables, auto_extra = bundle
         # caller-supplied extras override the checkpoint's embedded ones
         extra_inputs = {**auto_extra, **(extra_inputs or {})}
+    if mesh is not None:
+        from medseg_tpu.parallel import batch_sharding, replicated
+
+        loader.sharding = batch_sharding(mesh)
+        loader.pad_to_multiple = mesh.size
+        variables, extra_inputs = jax.device_put(
+            (variables, extra_inputs), replicated(mesh))
     model = entry["factory"]()
     log(f"\n{'=' * 60}")
     log(f"Testing {'Segmentation' if seg else 'Classification'} Model: {name}")
@@ -254,9 +274,10 @@ def test_all_models(cls_loader: Optional[BatchLoader],
                     seg_loader: Optional[BatchLoader],
                     cfg: EvalConfig = EvalConfig(),
                     extra_inputs: Optional[Dict[str, dict]] = None,
-                    log: Callable[[str], None] = print) -> Dict[str, Dict]:
+                    log: Callable[[str], None] = print,
+                    mesh=None) -> Dict[str, Dict]:
     """Evaluate the whole zoo (tester.py:513-735): skip-on-missing-weights,
-    summary printout; returns {model: metrics}."""
+    summary printout; returns {model: metrics}.  mesh: see evaluate_model."""
     results: Dict[str, Dict] = {}
     extra_inputs = extra_inputs or {}
     if cls_loader is not None:
@@ -264,7 +285,7 @@ def test_all_models(cls_loader: Optional[BatchLoader],
         for name in CLS_MODELS:
             try:
                 res = evaluate_model(name, cls_loader, None, cfg,
-                                     extra_inputs.get(name), log)
+                                     extra_inputs.get(name), log, mesh=mesh)
                 if res is not None:
                     results[name] = res
             except Exception as e:  # graceful skip (tester.py:630-635)
@@ -274,7 +295,7 @@ def test_all_models(cls_loader: Optional[BatchLoader],
         for name in SEG_MODELS:
             try:
                 res = evaluate_model(name, seg_loader, None, cfg,
-                                     extra_inputs.get(name), log)
+                                     extra_inputs.get(name), log, mesh=mesh)
                 if res is not None:
                     results[name] = res
             except Exception as e:

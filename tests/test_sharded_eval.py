@@ -31,3 +31,44 @@ def test_sharded_seg_eval_matches_single_device():
 
     for k in res_plain:
         assert res_sharded[k] == pytest.approx(res_plain[k], rel=1e-4), k
+
+
+def test_sharded_seg_eval_ragged_tail_matches_single_device():
+    """13 samples / batch 8 -> final batch of 5 on an 8-device mesh: the
+    loader pads by repeating the last sample, the harness trims the padded
+    rows off the per-sample metric vectors — results must match the plain
+    single-device pass exactly (no sample dropped, none double-counted)."""
+    mesh = data_parallel_mesh()
+    ds = synthetic_seg(n=13, img_size=32)
+    model = get_model("AttentionUNet")["factory"]()
+    variables = model.init(jax.random.key(0),
+                           np.zeros((1, 32, 32, 3), np.float32))
+
+    plain = BatchLoader(ds, 8, shuffle=False)
+    res_plain = evaluate_model("AttentionUNet", plain, variables,
+                               log=lambda *_: None)
+
+    sharded = BatchLoader(ds, 8, shuffle=False)
+    res_sharded = evaluate_model("AttentionUNet", sharded, variables,
+                                 log=lambda *_: None, mesh=mesh)
+    assert sharded.pad_to_multiple == mesh.size
+
+    for k in res_plain:
+        assert res_sharded[k] == pytest.approx(res_plain[k], rel=1e-4), k
+
+
+def test_sharded_cls_eval_ragged_tail_matches_single_device():
+    from medseg_tpu.data import synthetic_cls
+
+    mesh = data_parallel_mesh()
+    ds = synthetic_cls(n=13, img_size=32)
+    model = get_model("ResNet18")["factory"]()
+    variables = model.init(jax.random.key(0),
+                           np.zeros((1, 32, 32, 3), np.float32))
+
+    res_plain = evaluate_model("ResNet18", BatchLoader(ds, 8, shuffle=False),
+                               variables, log=lambda *_: None)
+    res_sharded = evaluate_model("ResNet18", BatchLoader(ds, 8, shuffle=False),
+                                 variables, log=lambda *_: None, mesh=mesh)
+    for k in ("accuracy", "precision", "recall", "f1"):
+        assert res_sharded[k] == pytest.approx(res_plain[k], rel=1e-4), k
