@@ -16,6 +16,22 @@ execution — added r3 to settle the r2 warp-compile-time discrepancy).
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...} where
 vs_baseline is value / 5000 (the >=5k img/s/chip target).
 
+Resilience (r4, after BENCH_r03 died at backend init with rc=1 and no JSON):
+- backend init retries with backoff (the relay's device-claim wedge clears in
+  ~10 min; default 5 attempts over ~14 min, BENCH_INIT_RETRIES to override),
+- every section is guarded: a transient relay failure (same markers as
+  train.trainer.is_transient_runtime_error) gets one delayed retry, any
+  other failure is recorded in an "errors" field — the headline JSON line is
+  ALWAYS printed, never a bare traceback,
+- partial results checkpoint to bench_partial.json after every section, so
+  even a hard kill mid-zoo leaves machine-readable evidence,
+- per-program compile-cache hit/miss is logged and reported ("cache" field),
+- a global wall budget (BENCH_BUDGET_S, default 4500s) skips remaining zoo
+  models rather than overrunning the driver's patience,
+- BENCH_FAST=1 trims the zoo to one representative per model family;
+  unset, fast mode turns itself on when the persistent compile cache is cold
+  (a cold full zoo stages ~14 programs through the relay at 2-8 min each).
+
 Timing notes: on the axon-tunneled TPU, `block_until_ready` returns before
 execution (demand-driven); throughput is therefore measured as wall time of
 K dispatched steps forced by a single scalar fetch, which bounds dispatch +
@@ -35,20 +51,115 @@ import jax.numpy as jnp
 import numpy as np
 
 COMPILE_SECONDS = {}
+ERRORS = {}
+PARTIAL = {}
+CACHE_DIR = None
+CACHE_MISSES = []
+DEADLINE = None  # absolute time.monotonic() cutoff, set in main()
+
+# transport/relay failure markers shared with train.trainer (imported lazily
+# in _is_transient so a broken package import cannot kill the bench header)
+_FALLBACK_MARKERS = ("remote_compile", "response body closed", "UNAVAILABLE",
+                     "DEADLINE_EXCEEDED", "Connection reset", "Socket closed")
+
+
+def _is_transient(e: BaseException) -> bool:
+    """Transient relay/transport failure worth a retry (core.errors, with a
+    local fallback so a broken package import cannot kill the bench)."""
+    try:
+        from medseg_tpu.core.errors import is_transient_error
+        return is_transient_error(e)
+    except Exception:
+        return isinstance(e, (RuntimeError, OSError)) and any(
+            m in str(e) for m in _FALLBACK_MARKERS)
+
+
+def _cache_entries():
+    if not CACHE_DIR:
+        return None
+    try:
+        return len(os.listdir(CACHE_DIR))
+    except OSError:
+        return None
+
+
+def _checkpoint_partial():
+    """Sidecar dump after every section: a hard kill mid-run still leaves
+    machine-readable evidence for the round artifact."""
+    try:
+        with open("bench_partial.json", "w") as f:
+            json.dump({**PARTIAL, "errors": ERRORS,
+                       "compile_seconds": COMPILE_SECONDS}, f)
+    except OSError:
+        pass
+
+
+def _remaining() -> float:
+    return 1e18 if DEADLINE is None else DEADLINE - time.monotonic()
 
 
 def _aot(name: str, jitfn, *args):
-    """AOT-compile `jitfn` for `args`, recording wall lower+compile time.
+    """AOT-compile `jitfn` for `args`, recording wall lower+compile time and
+    persistent-cache hit/miss (by diffing the cache dir's entry count).
 
     Returns the Compiled object: callers run it directly so the measured
     compile is the only one paid (calling the jit wrapper afterwards would
     compile a second cache entry)."""
+    before = _cache_entries()
     t0 = time.perf_counter()
     compiled = jitfn.lower(*args).compile()
     dt = time.perf_counter() - t0
     COMPILE_SECONDS[name] = round(dt, 1)
-    print(f"[bench] compile {name}: {dt:.1f}s", file=sys.stderr)
+    after = _cache_entries()
+    state = ""
+    if before is not None and after is not None:
+        miss = after > before
+        if miss:
+            CACHE_MISSES.append(name)
+        state = " cache=" + ("miss" if miss else "hit")
+    print(f"[bench] compile {name}: {dt:.1f}s{state}", file=sys.stderr)
     return compiled
+
+
+def _init_backend_with_retry():
+    """Bounded retry around backend init (VERDICT r3 next-step #1a); the
+    retry loop lives in core.errors.init_backend_with_retry (shared with the
+    CLI).  On final failure: record the error, return (None, 0) — the
+    headline JSON must still print."""
+    attempts = int(os.environ.get("BENCH_INIT_RETRIES", "5"))
+    try:
+        from medseg_tpu.core.errors import init_backend_with_retry
+
+        return init_backend_with_retry(
+            attempts, log=lambda m: print(f"[bench] {m}", file=sys.stderr))
+    except Exception as e:
+        headline = str(e).splitlines()[0] if str(e) else repr(e)
+        ERRORS["backend_init"] = headline
+        print(f"[bench] backend init FAILED ({headline})", file=sys.stderr)
+        return None, 0
+
+
+def _section(name: str, fn, *args):
+    """Run one bench section; on a transient relay error wait and retry once;
+    on any failure record it and keep going (the JSON must always print)."""
+    for attempt in (0, 1):
+        try:
+            return fn(*args)
+        except KeyboardInterrupt:
+            raise
+        except BaseException as e:
+            headline = str(e).splitlines()[0] if str(e) else repr(e)
+            transient = _is_transient(e)
+            if attempt == 0 and transient and _remaining() > 300:
+                print(f"[bench] section {name}: transient failure "
+                      f"({headline}); retrying in 180s", file=sys.stderr)
+                time.sleep(180)
+                continue
+            ERRORS[name] = headline
+            print(f"[bench] section {name} FAILED: {headline}",
+                  file=sys.stderr)
+            return None
+    return None
 
 
 def bench_inference(small: bool):
@@ -282,19 +393,27 @@ ZOO = (("ResNet18", 384, 256), ("ResNet50", 384, 256), ("VGG16", 256, 256),
        ("AttentionUNet", 64, 256), ("R2Unet", 16, 256), ("R2AttUnet", 16, 256),
        ("CLIP", 256, 224), ("CLIPSeg", 32, 352))
 
+# one representative per model family for BENCH_FAST / cold-cache runs:
+# torchvision-CNN cls (ResNet50 covers ResNet18; VGG16 covers VGG19),
+# conv U-Nets (ResNetUnet covers AttentionUNet), recurrent U-Nets (R2Unet
+# covers R2AttUnet), plus the two HF-tower families
+ZOO_FAST_NAMES = ("ResNet50", "VGG16", "ResNetUnet", "R2Unet", "CLIP",
+                  "CLIPSeg")
 
-def bench_zoo(small: bool):
+
+def bench_zoo(small: bool, fast: bool):
     """Inference throughput sweep over the whole 10-model zoo (the surface
     of reference utils/tester.py:513).  ON by default since r3 so the
-    driver-recorded artifact regresses every model; BENCH_NO_ZOO=1 skips."""
+    driver-recorded artifact regresses every model; BENCH_NO_ZOO=1 skips;
+    fast mode trims to one representative per family.  Each model is guarded
+    individually and the sweep respects the global wall budget."""
     from medseg_tpu.core.registry import get_model
 
-    out = {}
-    for name, batch, size in ZOO:
-        if small:
-            batch, size = 4, 64
-            if name in ("CLIP", "CLIPSeg"):
-                size = 224 if name == "CLIP" else 352
+    zoo = [z for z in ZOO if not fast or z[0] in ZOO_FAST_NAMES]
+    if fast:
+        print(f"[bench] zoo FAST mode: {[z[0] for z in zoo]}", file=sys.stderr)
+
+    def one(name, batch, size):
         entry = get_model(name)
         model = entry["factory"](dtype=jnp.bfloat16)
         rng = jax.random.key(0)
@@ -325,15 +444,36 @@ def bench_zoo(small: bool):
 
         steps = 2 if small else 10
         wall(1 if small else 2)  # warmup (post-compile)
-        ips = batch * steps / min(wall(steps) for _ in range(3))
+        return batch * steps / min(wall(steps) for _ in range(3))
+
+    out = {}
+    for name, batch, size in zoo:
+        if _remaining() < 120:
+            ERRORS[f"zoo_{name}"] = "skipped: BENCH_BUDGET_S wall budget"
+            print(f"[bench] zoo {name}: SKIPPED (wall budget exhausted)",
+                  file=sys.stderr)
+            continue
+        if small:
+            batch, size = 4, 64
+            if name in ("CLIP", "CLIPSeg"):
+                size = 224 if name == "CLIP" else 352
+        ips = _section(f"zoo_{name}", one, name, batch, size)
+        if ips is None:
+            continue
         out[name] = round(ips, 1)
         print(f"[bench] zoo {name}: {ips:.0f} img/s (B={batch} @{size})",
               file=sys.stderr)
+        PARTIAL["zoo"] = out
+        _checkpoint_partial()
     return out
 
 
 def main():
+    global CACHE_DIR, DEADLINE
     small = os.environ.get("BENCH_SMALL") == "1"
+    DEADLINE = time.monotonic() + float(os.environ.get("BENCH_BUDGET_S",
+                                                       "4500"))
+    cold_cache = False
     if small:
         jax.config.update("jax_platforms", "cpu")
     else:
@@ -343,37 +483,69 @@ def main():
         # reports cache-hit times — cold times are in PERF.md.
         from medseg_tpu.core.jax_cache import enable_persistent_cache
 
-        cache_dir = enable_persistent_cache()
-        print(f"[bench] persistent compile cache: {cache_dir}", file=sys.stderr)
+        CACHE_DIR = enable_persistent_cache()
+        entries = _cache_entries()
+        cold_cache = not entries
+        print(f"[bench] persistent compile cache: {CACHE_DIR} "
+              f"({entries or 0} entries, {'COLD' if cold_cache else 'warm'})",
+              file=sys.stderr)
 
-    print(f"[bench] backend={jax.default_backend()} "
-          f"devices={len(jax.devices())}", file=sys.stderr)
+    backend, ndev = _init_backend_with_retry()
+    if backend is None:
+        # No device at all: emit the headline JSON anyway (value 0, error
+        # recorded) so the driver captures a parsed artifact, and exit 1.
+        result = {"metric": "images/sec/chip end-to-end (aug+infer, 256px, "
+                            "ResNet18 bf16)",
+                  "value": 0.0, "unit": "images/sec/chip", "vs_baseline": 0.0,
+                  "errors": ERRORS}
+        _checkpoint_partial()
+        print(json.dumps(result))
+        sys.exit(1)
+    print(f"[bench] backend={backend} devices={ndev}", file=sys.stderr)
 
-    infer_ips = bench_inference(small)
-    train_ips = bench_training(small)
-    seg_train_ips = bench_training_seg(small)
-    seg_e2e_ips = bench_seg_e2e(small)
+    sections = (("infer", bench_inference), ("train", bench_training),
+                ("seg_train", bench_training_seg), ("seg_e2e", bench_seg_e2e))
+    vals = {}
+    for name, fn in sections:
+        vals[name] = _section(name, fn, small)
+        PARTIAL[name] = vals[name]
+        _checkpoint_partial()
 
+    infer_ips = vals["infer"]
     result = {
         "metric": "images/sec/chip end-to-end (aug+infer, 256px, ResNet18 bf16)",
-        "value": round(infer_ips, 1),
+        "value": round(infer_ips, 1) if infer_ips else 0.0,
         "unit": "images/sec/chip",
-        "vs_baseline": round(infer_ips / 5000.0, 3),
-        "train_images_per_sec": round(train_ips, 1),
+        "vs_baseline": round(infer_ips / 5000.0, 3) if infer_ips else 0.0,
+        "train_images_per_sec": round(vals["train"], 1) if vals["train"] else None,
         "train_metric": "images/sec/chip train step "
                         "(aug+fwd+bwd+AdamW, 256px, ResNet18 bf16)",
-        "seg_train_images_per_sec": round(seg_train_ips, 1),
+        "seg_train_images_per_sec":
+            round(vals["seg_train"], 1) if vals["seg_train"] else None,
         "seg_train_metric": "images/sec/chip seg train step "
                             "(fused aug+fwd+bwd+AdamW, 256px, "
                             "AttentionUNet bf16 BCE)",
-        "seg_e2e_images_per_sec": round(seg_e2e_ips, 1),
+        "seg_e2e_images_per_sec":
+            round(vals["seg_e2e"], 1) if vals["seg_e2e"] else None,
         "seg_e2e_metric": "images/sec/chip seg end-to-end "
                           "(fused 4-plane aug + ResNetUnet bf16 + threshold)",
     }
     if os.environ.get("BENCH_NO_ZOO") != "1":
-        result["zoo"] = bench_zoo(small)
+        fast_env = os.environ.get("BENCH_FAST")
+        fast = fast_env == "1" if fast_env is not None else cold_cache
+        result["zoo"] = _section("zoo", bench_zoo, small, fast) or {}
     result["compile_seconds"] = COMPILE_SECONDS
+    if CACHE_DIR:
+        result["cache"] = {"dir": CACHE_DIR, "cold_start": cold_cache,
+                           "compile_misses": CACHE_MISSES}
+    if ERRORS:
+        result["errors"] = ERRORS
+    PARTIAL.update(result)
+    _checkpoint_partial()
     print(json.dumps(result))
+    # headline metric present -> success even if a zoo entry errored;
+    # a dead headline is a failed bench (but the JSON above still parsed)
+    sys.exit(0 if infer_ips else 1)
 
 
 if __name__ == "__main__":

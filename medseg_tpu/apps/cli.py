@@ -20,6 +20,7 @@ Defaults reproduce the reference's hardcoded hyperparameters exactly.
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 
 import numpy as np
@@ -399,6 +400,20 @@ def main(argv=None):
     add("bench", _cmd_bench)
 
     args = p.parse_args(argv)
+    # Device-touching commands get a bounded backend-init retry: the relay's
+    # device-claim wedge clears in ~10 min and would otherwise kill the run
+    # at import-adjacent depth with an opaque RuntimeError (the exact failure
+    # that ate BENCH_r03).  Pure-host commands skip it.
+    if args.cmd not in ("install-data", "split", "pack"):
+        from medseg_tpu.core.errors import (force_cpu_if_requested,
+                                            init_backend_with_retry)
+
+        # honor JAX_PLATFORMS=cpu: the axon sitecustomize overrides it to
+        # "axon,cpu" at startup, which would dial the relay even for runs
+        # the user explicitly pinned to CPU (observed hanging in r4)
+        force_cpu_if_requested()
+        attempts = int(os.environ.get("MEDSEG_INIT_RETRIES", "4"))
+        init_backend_with_retry(attempts, log=print)
     args.fn(args)
 
 
