@@ -71,6 +71,17 @@ class BatchLoader:
     def num_samples(self):
         return len(self.indices)
 
+    def real_counts(self):
+        """Per-batch REAL sample counts, ignoring pad_to_multiple padding.
+
+        With sharded eval/val padding the loader repeats the final sample up
+        to the mesh multiple; consumers mask/trim per-sample outputs with
+        these counts so padded rows never enter metrics (eval/harness.py,
+        the finetuners' val loops)."""
+        n, bs = self.num_samples, self.batch_size
+        stop = (n // bs) * bs if self.drop_last else n
+        return [min(bs, n - s) for s in range(0, stop, bs)]
+
     def _put(self, arr: np.ndarray):
         if self.sharding is not None:
             return jax.device_put(arr, self.sharding)
