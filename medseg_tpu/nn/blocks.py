@@ -13,6 +13,7 @@ parallelism").
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -157,19 +158,150 @@ class UpConv(nn.Module):
         return ConvBN(self.features, dtype=self.dtype, name="conv")(x, train)
 
 
+class _Conv1x1Params(nn.Module):
+    """Declaration-only twin of nn.Conv(features, (1,1)): same param tree
+    (kernel [1,1,C_in,F] + bias), same initializers — but returns the raw
+    parameters instead of applying the conv, so a caller can fold BatchNorm
+    into them (see _FusedConvBN1x1)."""
+
+    features: int
+    c_in: int
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (1, 1, self.c_in, self.features), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros,
+                          (self.features,), jnp.float32)
+        return kernel, bias
+
+
+class _BNVars(nn.Module):
+    """Declaration-only twin of nn.BatchNorm's variables: scale/bias params
+    and mean/var batch_stats, same names/initializers/momentum blend — the
+    caller supplies the batch statistics (computed algebraically upstream)."""
+
+    features: int
+    momentum: float = 0.9
+
+    @nn.compact
+    def __call__(self, batch_mean=None, batch_var=None):
+        scale = self.param("scale", nn.initializers.ones,
+                           (self.features,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros,
+                          (self.features,), jnp.float32)
+        ra_mean = self.variable("batch_stats", "mean",
+                                lambda: jnp.zeros((self.features,), jnp.float32))
+        ra_var = self.variable("batch_stats", "var",
+                               lambda: jnp.ones((self.features,), jnp.float32))
+        if batch_mean is not None and not self.is_initializing():
+            # flax BatchNorm's exact running-stat blend (momentum 0.9)
+            ra_mean.value = (self.momentum * ra_mean.value
+                             + (1.0 - self.momentum) * batch_mean)
+            ra_var.value = (self.momentum * ra_var.value
+                            + (1.0 - self.momentum) * batch_var)
+        return scale, bias, ra_mean.value, ra_var.value
+
+
+class _FusedConvBN1x1(nn.Module):
+    """BN-folded pointwise conv with ALGEBRAIC train-mode statistics.
+
+    Variable tree is identical to ConvBN(kernel=1, relu=False) —
+    conv/{kernel,bias} + bn/{scale,bias} params, bn/{mean,var} batch_stats —
+    so checkpoints and torch converters are untouched.  Returns the folded
+    affine (A [C_in, F], c [F]) instead of applying the conv; the caller
+    applies `y = x @ A + c` (and can merge several branches into one pass).
+
+    Train-mode trick: a 1x1 conv is linear in channels, so its output batch
+    statistics are exact functions of the INPUT's channel mean m and Gram
+    matrix G = E[x x^T] (tiny MXU matmuls):
+
+        mean(Wx + b) = W^T m + b
+        var(Wx + b)  = diag(W^T (G - m m^T) W) = diag(W^T G W) - (W^T m)^2
+
+    This removes the full-resolution stat pass over the conv output that
+    makes train-mode BN the dominant cost of the attention gates (PERF.md
+    r3: three BNs per gate, gates = 21% of the AttentionUNet step at 1-9%
+    MFU).  Same fast-variance formula (E[u^2]-E[u]^2, f32, clipped at 0)
+    flax BatchNorm uses, so numerics agree to reduction-order tolerance."""
+
+    features: int
+    momentum: float = 0.9
+    epsilon: float = 1e-5
+
+    @nn.compact
+    def __call__(self, in_mean, in_gram, train: bool):
+        c_in = in_mean.shape[-1]
+        kernel, bias = _Conv1x1Params(self.features, c_in, name="conv")()
+        w = kernel[0, 0]  # [C_in, F] f32
+        if train:
+            mu_raw = in_mean @ w                       # [F]
+            mean = mu_raw + bias
+            e2 = jnp.einsum("cf,cd,df->f", w, in_gram, w)
+            var = jnp.maximum(e2 - mu_raw * mu_raw, 0.0)
+            scale, bn_bias, _, _ = _BNVars(self.features, self.momentum,
+                                           name="bn")(mean, var)
+        else:
+            scale, bn_bias, mean, var = _BNVars(self.features, self.momentum,
+                                                name="bn")()
+        inv = scale * jax.lax.rsqrt(var + self.epsilon)
+        return w * inv[None, :], bn_bias + (bias - mean) * inv
+
+
+def _channel_stats(x):
+    """(mean [C], Gram E[x x^T] [C,C]) over (B,H,W) — f32 accumulation."""
+    c = x.shape[-1]
+    x2d = x.reshape(-1, c)
+    n = x2d.shape[0]
+    mean = jnp.mean(x2d.astype(jnp.float32), axis=0)
+    gram = jnp.einsum("nc,nd->cd", x2d, x2d,
+                      preferred_element_type=jnp.float32) / n
+    return mean, gram
+
+
 class AttentionGate(nn.Module):
     """Additive spatial attention gate on a skip connection
     (reference models/segmentation_models/AttentionUNet.py:29-54):
-    psi = sigmoid(BN(1x1(relu(W_g g + W_x x)))); returns x * psi."""
+    psi = sigmoid(BN(1x1(relu(W_g g + W_x x)))); returns x * psi.
+
+    fused_stats=True (default): the W_g/W_x ConvBNs lower as BN-folded
+    affine contractions whose train-mode batch statistics come from the
+    inputs' channel mean/Gram (see _FusedConvBN1x1) — the gate's three
+    full-resolution BN materialization passes collapse to two fused
+    einsum passes plus tiny [C,C] matmuls.  Identical variable tree and
+    (to reduction-order tolerance) identical numerics as the unfused path;
+    equality is pinned by tests/test_models_shapes.py and the torch-oracle
+    parity tests."""
 
     f_int: int
     dtype: jnp.dtype = jnp.float32
+    fused_stats: bool = True
 
     @nn.compact
     def __call__(self, g, x, train: bool = False):
-        g1 = ConvBN(self.f_int, kernel=1, padding=0, relu=False, dtype=self.dtype, name="w_g")(g, train)
-        x1 = ConvBN(self.f_int, kernel=1, padding=0, relu=False, dtype=self.dtype, name="w_x")(x, train)
-        psi = nn.relu(g1 + x1)
+        if not self.fused_stats:
+            g1 = ConvBN(self.f_int, kernel=1, padding=0, relu=False,
+                        dtype=self.dtype, name="w_g")(g, train)
+            x1 = ConvBN(self.f_int, kernel=1, padding=0, relu=False,
+                        dtype=self.dtype, name="w_x")(x, train)
+            psi = nn.relu(g1 + x1)
+        else:
+            if train:
+                mg, gram_g = _channel_stats(g)
+                mx, gram_x = _channel_stats(x)
+            else:
+                mg = jnp.zeros((g.shape[-1],), jnp.float32)
+                mx = jnp.zeros((x.shape[-1],), jnp.float32)
+                gram_g = gram_x = None
+            a_g, c_g = _FusedConvBN1x1(self.f_int, name="w_g")(mg, gram_g,
+                                                               train)
+            a_x, c_x = _FusedConvBN1x1(self.f_int, name="w_x")(mx, gram_x,
+                                                               train)
+            dt = self.dtype
+            psi = nn.relu(
+                jnp.einsum("bhwc,cf->bhwf", g.astype(dt), a_g.astype(dt))
+                + jnp.einsum("bhwc,cf->bhwf", x.astype(dt), a_x.astype(dt))
+                + (c_g + c_x).astype(dt))
         psi = ConvBN(1, kernel=1, padding=0, relu=False, as_dot=True,
                      dtype=self.dtype, name="psi")(psi, train)
         psi = nn.sigmoid(psi)
