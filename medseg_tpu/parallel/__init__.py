@@ -4,4 +4,5 @@ from medseg_tpu.parallel.sharding import (  # noqa: F401
     replicated,
     shard_batch,
     pad_to_multiple,
+    require_divisible_batch,
 )

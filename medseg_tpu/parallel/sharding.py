@@ -55,3 +55,19 @@ def pad_to_multiple(batch: np.ndarray, multiple: int):
 def shard_batch(batch, mesh: Mesh):
     """Device-put a host array sharded across the data axis."""
     return jax.device_put(batch, batch_sharding(mesh))
+
+
+def require_divisible_batch(mesh: Mesh, *loaders) -> None:
+    """Fail fast when a loader's batch cannot shard across the data axis.
+
+    device_put of an indivisible batch dies deep inside XLA with an opaque
+    sharding error (r3 advisor finding); name the fix instead."""
+    for ld in loaders:
+        if ld is None:
+            continue
+        if ld.batch_size % mesh.size != 0:
+            rounded = -(-ld.batch_size // mesh.size) * mesh.size
+            raise ValueError(
+                f"batch_size={ld.batch_size} does not divide across the "
+                f"{mesh.size}-device data-parallel mesh; use a multiple of "
+                f"{mesh.size} (e.g. {rounded}).")

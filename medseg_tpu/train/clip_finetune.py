@@ -28,7 +28,8 @@ from medseg_tpu.ops.clip_prep import clip_preprocess
 from medseg_tpu.train import checkpoint as ckpt
 from medseg_tpu.train import steps as S
 from medseg_tpu.train.freeze import finetune_filter, mask_from_predicate
-from medseg_tpu.train.losses import cross_entropy
+from medseg_tpu.train.losses import (cross_entropy, per_sample_cross_entropy,
+                                     valid_mask)
 from medseg_tpu.train.schedules import EarlyStopping, cosine_annealing
 
 
@@ -62,14 +63,19 @@ def finetune_clip(
     params = variables["params"]
 
     if mesh is not None:
-        from medseg_tpu.parallel import batch_sharding, replicated
+        from medseg_tpu.parallel import (batch_sharding, replicated,
+                                         require_divisible_batch)
 
+        require_divisible_batch(mesh, train_loader, val_loader)
         train_loader.sharding = batch_sharding(mesh)
         val_loader.sharding = batch_sharding(mesh)
-        # batches must divide across the data axis; drop ragged tails
-        # (epoch statistics still normalize by the samples actually seen)
+        # train batches must divide across the data axis; drop ragged tails
+        # (epoch statistics still normalize by the samples actually seen).
+        # Validation pads ragged tails and masks them out of the metrics so
+        # best-checkpoint selection sees the exact same sample set as a
+        # single-device run (r3 advisor fix).
         train_loader.drop_last = True
-        val_loader.drop_last = True
+        val_loader.pad_to_multiple = mesh.size
         params, opt_state, tf = jax.device_put((params, opt_state, tf),
                                                replicated(mesh))
 
@@ -87,12 +93,13 @@ def finetune_clip(
         return params2, opt_state2, loss, correct
 
     @jax.jit
-    def eval_step(params, images_u8, labels):
+    def eval_step(params, images_u8, labels, n_valid):
         x = clip_preprocess(images_u8, image_size)
         logits = model.apply({"params": params}, x, tf)
-        loss = cross_entropy(logits, labels)
-        correct = (jnp.argmax(logits, -1) == labels).sum()
-        return loss * images_u8.shape[0], correct
+        valid = valid_mask(images_u8.shape[0], n_valid)
+        loss_sum = (per_sample_cross_entropy(logits, labels) * valid).sum()
+        correct = ((jnp.argmax(logits, -1) == labels) & (valid > 0)).sum()
+        return loss_sum, correct
 
     stopper = EarlyStopping(cfg.early_stop_patience, mode="max")
     best = 0.0
@@ -118,11 +125,12 @@ def finetune_clip(
         vloss_acc = jnp.zeros((), jnp.float32)
         vcorr_acc = jnp.zeros((), jnp.int32)
         val_total = 0
-        for images, labels in val_loader:
-            loss_sum, corr = eval_step(params, images, labels)
+        for (images, labels), n_real in zip(val_loader,
+                                            val_loader.real_counts()):
+            loss_sum, corr = eval_step(params, images, labels, n_real)
             vloss_acc = vloss_acc + loss_sum
             vcorr_acc = vcorr_acc + corr
-            val_total += images.shape[0]
+            val_total += n_real
         val_loss, val_correct = float(vloss_acc), int(vcorr_acc)
         val_acc = 100.0 * val_correct / max(1, val_total)
         log(f"[CLIP] Ep{epoch}: TrainLoss {run_loss / max(1, total):.3f} "

@@ -26,13 +26,17 @@ from medseg_tpu.ops.clip_prep import clip_preprocess
 from medseg_tpu.train import checkpoint as ckpt
 from medseg_tpu.train import steps as S
 from medseg_tpu.train.freeze import finetune_filter, mask_from_predicate
-from medseg_tpu.train.losses import combined_loss
+from medseg_tpu.train.losses import (combined_loss, masked_combined_loss,
+                                     valid_mask)
 from medseg_tpu.train.schedules import EarlyStopping, cosine_annealing
 
 
-def _batch_dice(probs, targets, threshold=0.5):
-    p = (probs > threshold).astype(jnp.float32)
-    t = (targets > threshold).astype(jnp.float32)
+def _batch_dice(probs, targets, valid, threshold=0.5):
+    """Whole-batch dice over valid rows only (pad rows zero out of every
+    sum, so the masked value equals the trimmed single-device one)."""
+    v = valid.reshape((-1,) + (1,) * (probs.ndim - 1))
+    p = (probs > threshold).astype(jnp.float32) * v
+    t = (targets > threshold).astype(jnp.float32) * v
     inter = (p * t).sum()
     return (2.0 * inter + 1e-7) / (p.sum() + t.sum() + 1e-7)
 
@@ -67,14 +71,19 @@ def finetune_clipseg(
     params = variables["params"]
 
     if mesh is not None:
-        from medseg_tpu.parallel import batch_sharding, replicated
+        from medseg_tpu.parallel import (batch_sharding, replicated,
+                                         require_divisible_batch)
 
+        require_divisible_batch(mesh, train_loader, val_loader)
         train_loader.sharding = batch_sharding(mesh)
         val_loader.sharding = batch_sharding(mesh)
-        # batches must divide across the data axis; drop ragged tails
-        # (epoch statistics still normalize by the samples actually seen)
+        # train batches must divide across the data axis; drop ragged tails
+        # (epoch statistics still normalize by the samples actually seen).
+        # Validation pads ragged tails and masks them out of the metrics so
+        # best-checkpoint selection sees the exact same sample set as a
+        # single-device run (r3 advisor fix).
         train_loader.drop_last = True
-        val_loader.drop_last = True
+        val_loader.pad_to_multiple = mesh.size
         params, opt_state, cond = jax.device_put((params, opt_state, cond),
                                                  replicated(mesh))
 
@@ -110,13 +119,15 @@ def finetune_clipseg(
         return optax.apply_updates(params, updates), opt_state2, loss
 
     @jax.jit
-    def eval_step(params, images_u8, masks_u8):
+    def eval_step(params, images_u8, masks_u8, n_valid):
         x, m = prep(images_u8, masks_u8)
         c = jnp.broadcast_to(cond, (x.shape[0], cond.shape[-1]))
         logits = model.apply({"params": params}, x, cond=c)
-        loss = combined_loss(logits, m, cfg.bce_weight, cfg.dice_weight)
-        dice = _batch_dice(jax.nn.sigmoid(logits), m)
-        return loss * x.shape[0], dice
+        valid = valid_mask(x.shape[0], n_valid)
+        loss = masked_combined_loss(logits, m, valid,
+                                    cfg.bce_weight, cfg.dice_weight)
+        dice = _batch_dice(jax.nn.sigmoid(logits), m, valid)
+        return loss * jnp.maximum(n_valid, 1), dice
 
     stopper = EarlyStopping(cfg.early_stop_patience, mode="max")
     best = 0.0
@@ -135,12 +146,13 @@ def finetune_clipseg(
 
         vloss_acc = jnp.zeros((), jnp.float32)
         dice_stack = []
-        val_total = 0  # normalize by samples actually seen (mesh drops tails)
-        for images, masks in val_loader:
-            loss_sum, dice = eval_step(params, images, masks)
+        val_total = 0
+        for (images, masks), n_real in zip(val_loader,
+                                           val_loader.real_counts()):
+            loss_sum, dice = eval_step(params, images, masks, n_real)
             vloss_acc = vloss_acc + loss_sum
             dice_stack.append(dice)
-            val_total += images.shape[0]
+            val_total += n_real
         val_loss = float(vloss_acc)
         val_dice = float(jnp.mean(jnp.stack(dice_stack))) if dice_stack else 0.0
         log(f"[CLIPSeg] Ep{epoch}: TrainLoss {run_loss / max(1, total):.3f} | "

@@ -134,29 +134,42 @@ def make_seg_train_step(model, optimizer, loss_name: str = "bce", prep=None):
 
 
 def make_cls_eval_step(model, label_smoothing: float = 0.1):
-    """(variables, images, labels) -> (loss_sum, correct, preds)."""
+    """(params, stats, images, labels, n_valid) -> (loss_sum, correct, preds).
 
-    def step(params, batch_stats, images, labels):
+    n_valid (int32 scalar): real sample count — under a data-parallel mesh
+    ragged val tails pad by repeating the last sample (loader pad_to_multiple)
+    and the pad rows must not bias the metrics (r3 advisor: drop_last used to
+    silently exclude up to batch-1 tail samples from validation).  Pass
+    images.shape[0] on unpadded batches: the masked sums are then exactly the
+    unmasked ones."""
+
+    def step(params, batch_stats, images, labels, n_valid):
         out = model.apply({"params": params, "batch_stats": batch_stats}, images)
-        loss = losses.cross_entropy(out, labels, label_smoothing)
+        valid = losses.valid_mask(images.shape[0], n_valid)
+        loss_sum = (losses.per_sample_cross_entropy(out, labels,
+                                                    label_smoothing)
+                    * valid).sum()
         preds = jnp.argmax(out, axis=-1)
-        correct = (preds == labels).sum()
-        return loss * images.shape[0], correct, preds
+        correct = ((preds == labels) & (valid > 0)).sum()
+        return loss_sum, correct, preds
 
     return jax.jit(step)
 
 
 def make_seg_eval_step(model, loss_name: str = "bce"):
-    """(params, stats, images, masks) -> (loss_sum, batch_iou)."""
-    loss_fns = {"bce": losses.bce_with_logits, "combined": losses.combined_loss}
+    """(params, stats, images, masks, n_valid) -> (loss_sum, batch_iou);
+    n_valid masks sharded-val pad rows out (see make_cls_eval_step)."""
+    loss_fns = {"bce": losses.masked_bce_with_logits,
+                "combined": losses.masked_combined_loss}
     loss_fn_inner = loss_fns[loss_name]
 
-    def step(params, batch_stats, images, masks):
+    def step(params, batch_stats, images, masks, n_valid):
         out = model.apply({"params": params, "batch_stats": batch_stats}, images)
         if out.ndim == 3:
             out = out[..., None]
-        loss = loss_fn_inner(out, masks)
-        iou = losses.batch_iou(jax.nn.sigmoid(out), masks)
-        return loss * images.shape[0], iou
+        valid = losses.valid_mask(images.shape[0], n_valid)
+        loss = loss_fn_inner(out, masks, valid)
+        iou = losses.masked_batch_iou(jax.nn.sigmoid(out), masks, valid)
+        return loss * jnp.maximum(n_valid, 1), iou
 
     return jax.jit(step)

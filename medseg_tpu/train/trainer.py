@@ -49,28 +49,10 @@ class TrainResult:
     state: S.TrainState
 
 
-# Failure signatures of the demand-driven relay/transport layer observed on
-# real hardware (e.g. "INTERNAL: .../remote_compile: read body: response body
-# closed before all bytes were read" killed a run at the stage-2 first
-# compile).  These are retryable: nothing about the program or data is wrong.
-# Deliberately NOT matched: RESOURCE_EXHAUSTED (a real OOM re-fails forever)
-# and anything that is not a runtime error (tracing/shape bugs).
-_TRANSIENT_MARKERS = (
-    "remote_compile",
-    "response body closed",
-    "UNAVAILABLE",
-    "DEADLINE_EXCEEDED",
-    "Connection reset",
-    "Socket closed",
-)
-
-
-def is_transient_runtime_error(e: BaseException) -> bool:
-    """True for runtime failures of the transport/relay layer worth a retry."""
-    if not isinstance(e, jax.errors.JaxRuntimeError):
-        return False
-    msg = str(e)
-    return any(marker in msg for marker in _TRANSIENT_MARKERS)
+# Transient relay/transport failure detection lives in core.errors (shared
+# with eval retry and the bench harness); re-exported here for callers that
+# learned the name from the training module.
+from medseg_tpu.core.errors import is_transient_runtime_error  # noqa: E402,F401
 
 
 def train_model_resilient(
@@ -170,14 +152,20 @@ def train_model(
     model = entry["factory"](dtype=policy.compute_dtype)
 
     if mesh is not None:
-        from medseg_tpu.parallel import batch_sharding, replicated
+        from medseg_tpu.parallel import (batch_sharding, replicated,
+                                         require_divisible_batch)
 
+        require_divisible_batch(mesh, train_loader, val_loader)
         train_loader.sharding = batch_sharding(mesh)
         val_loader.sharding = batch_sharding(mesh)
-        # batches must divide across the data axis; drop ragged tails
-        # (epoch statistics still normalize by the samples actually seen)
+        # train batches must divide across the data axis; drop ragged tails
+        # (epoch statistics still normalize by the samples actually seen).
+        # Validation instead PADS ragged tails (repeat last sample) and the
+        # eval step masks the pad rows out, so mesh and single-device runs
+        # score the exact same sample set (r3 advisor: drop_last silently
+        # excluded up to batch-1 tail samples from best-checkpoint choice).
         train_loader.drop_last = True
-        val_loader.drop_last = True
+        val_loader.pad_to_multiple = mesh.size
 
     rng = jax.random.key(seed)
     rng, init_rng = jax.random.split(rng)
@@ -316,17 +304,20 @@ def train_model(
         vmetric_acc = jnp.zeros((), jnp.float32)
         n_batches = 0
         n_val_seen = 0
-        for images, targets in val_loader:
+        for (images, targets), n_real in zip(val_loader,
+                                             val_loader.real_counts()):
             x, t = eval_prep(images, targets)
             if seg:
-                loss_sum, iou = eval_step(state.params, state.batch_stats, x, t)
+                loss_sum, iou = eval_step(state.params, state.batch_stats,
+                                          x, t, n_real)
                 vmetric_acc = vmetric_acc + iou
             else:
-                loss_sum, corr, _ = eval_step(state.params, state.batch_stats, x, t)
+                loss_sum, corr, _ = eval_step(state.params, state.batch_stats,
+                                              x, t, n_real)
                 vmetric_acc = vmetric_acc + corr
             vloss_acc = vloss_acc + loss_sum
             n_batches += 1
-            n_val_seen += x.shape[0]
+            n_val_seen += n_real
         val_loss = float(vloss_acc) / max(1, n_val_seen)
         val_metric = float(vmetric_acc)
 

@@ -67,7 +67,7 @@ def test_finetune_clipseg_smoke_and_decoder_only(tmp_path):
 
 def test_finetune_clip_on_mesh(tmp_path):
     """Data-parallel CLIP finetune over the 8-device virtual mesh: batches
-    shard, params replicate, ragged val tail drops, checkpoint still saves."""
+    shard, params replicate, ragged val tail pads+masks, checkpoint still saves."""
     mesh = data_parallel_mesh()
     assert mesh.size >= 8
     model = CLIPClassifier(vision_cfg=TINY_VISION, projection_dim=16)
@@ -77,7 +77,7 @@ def test_finetune_clip_on_mesh(tmp_path):
                            jnp.zeros((1, 32, 32, 3)), jnp.asarray(tf))
     ds = synthetic_cls(n=36, img_size=32)
     tr = BatchLoader(ds, 16, shuffle=True, indices=np.arange(24))
-    va = BatchLoader(ds, 8, shuffle=False, indices=np.arange(24, 36))  # 12 -> ragged 4 drops
+    va = BatchLoader(ds, 8, shuffle=False, indices=np.arange(24, 36))  # ragged 4: pads+masks
     cfg = CLIPFinetuneConfig(epochs=2, lr=1e-3, save_root=str(tmp_path))
     logs = []
     best = finetune_clip(tr, va, variables, tf, cfg, mesh=mesh, model=model,
@@ -99,10 +99,93 @@ def test_finetune_clipseg_on_mesh(tmp_path):
                            cond=jnp.asarray(cond))
     ds = synthetic_seg(n=28, img_size=32)
     tr = BatchLoader(ds, 8, shuffle=True, indices=np.arange(16))
-    va = BatchLoader(ds, 8, shuffle=False, indices=np.arange(16, 28))  # ragged 4 drops
+    va = BatchLoader(ds, 8, shuffle=False, indices=np.arange(16, 28))  # ragged 4: pads+masks
     cfg = CLIPSegFinetuneConfig(epochs=2, lr=1e-3, save_root=str(tmp_path))
     logs = []
     best = finetune_clipseg(tr, va, variables, cond, cfg, mesh=mesh,
                             model=model, image_size=32, log=logs.append)
     assert 0.0 <= best <= 1.0
     assert any("[CLIPSeg] Ep2" in l for l in logs)
+
+
+def _parse(logs, tag, field):
+    """Pull `field <num>` from the first '[tag] Ep1' line."""
+    import re
+    line = next(l for l in logs if f"[{tag}] Ep1" in l)
+    return float(re.search(rf"{field} ([\d.]+)", line).group(1))
+
+
+def test_clip_mesh_val_matches_single_device_exactly(tmp_path):
+    """r3 advisor fix: with lr=0 (params never move) a mesh run's validation
+    metrics must equal the single-device run's even with a RAGGED val set —
+    the old drop_last path silently excluded the 4-sample tail from both
+    ValLoss and ValAcc (and hence from best-checkpoint selection)."""
+    mesh = data_parallel_mesh()
+    model = CLIPClassifier(vision_cfg=TINY_VISION, projection_dim=16)
+    tf = np.random.default_rng(0).standard_normal((3, 16)).astype(np.float32)
+    tf /= np.linalg.norm(tf, axis=-1, keepdims=True)
+    variables = model.init(jax.random.key(0),
+                           jnp.zeros((1, 32, 32, 3)), jnp.asarray(tf))
+    ds = synthetic_cls(n=28, img_size=32)
+    cfg = CLIPFinetuneConfig(epochs=1, lr=0.0, save_root=str(tmp_path))
+
+    def run(mesh_arg):
+        logs = []
+        finetune_clip(BatchLoader(ds, 8, shuffle=True,
+                                  indices=np.arange(16)),
+                      BatchLoader(ds, 8, shuffle=False,
+                                  indices=np.arange(16, 28)),  # ragged 4
+                      variables, tf, cfg, mesh=mesh_arg, model=model,
+                      image_size=32, save=False, log=logs.append)
+        return logs
+
+    logs_plain, logs_mesh = run(None), run(mesh)
+    assert _parse(logs_mesh, "CLIP", "ValAcc") == pytest.approx(
+        _parse(logs_plain, "CLIP", "ValAcc"), abs=1e-6)
+    assert _parse(logs_mesh, "CLIP", "ValLoss") == pytest.approx(
+        _parse(logs_plain, "CLIP", "ValLoss"), abs=2e-3)
+
+
+def test_clipseg_mesh_val_matches_single_device_exactly(tmp_path):
+    mesh = data_parallel_mesh()
+    model = CLIPSegModel(vision_cfg=TINY_VISION, text_cfg=TINY_TEXT,
+                         projection_dim=16, extract_layers=(0, 1),
+                         reduce_dim=16, decoder_heads=2,
+                         decoder_intermediate=32)
+    cond = np.random.default_rng(1).standard_normal((1, 16)).astype(np.float32)
+    variables = model.init(jax.random.key(0), jnp.zeros((1, 32, 32, 3)),
+                           cond=jnp.asarray(cond))
+    ds = synthetic_seg(n=28, img_size=32)
+    cfg = CLIPSegFinetuneConfig(epochs=1, lr=0.0, save_root=str(tmp_path))
+
+    def run(mesh_arg):
+        logs = []
+        finetune_clipseg(BatchLoader(ds, 8, shuffle=True,
+                                     indices=np.arange(16)),
+                         BatchLoader(ds, 8, shuffle=False,
+                                     indices=np.arange(16, 28)),  # ragged 4
+                         variables, cond, cfg, mesh=mesh_arg, model=model,
+                         image_size=32, save=False, log=logs.append)
+        return logs
+
+    logs_plain, logs_mesh = run(None), run(mesh)
+    assert _parse(logs_mesh, "CLIPSeg", "ValDice") == pytest.approx(
+        _parse(logs_plain, "CLIPSeg", "ValDice"), abs=2e-3)
+    assert _parse(logs_mesh, "CLIPSeg", "ValLoss") == pytest.approx(
+        _parse(logs_plain, "CLIPSeg", "ValLoss"), abs=2e-3)
+
+
+def test_finetune_mesh_rejects_indivisible_batch(tmp_path):
+    mesh = data_parallel_mesh()
+    model = CLIPClassifier(vision_cfg=TINY_VISION, projection_dim=16)
+    tf = np.random.default_rng(0).standard_normal((3, 16)).astype(np.float32)
+    variables = model.init(jax.random.key(0),
+                           jnp.zeros((1, 32, 32, 3)), jnp.asarray(tf))
+    ds = synthetic_cls(n=24, img_size=32)
+    with pytest.raises(ValueError, match="multiple of 8"):
+        finetune_clip(BatchLoader(ds, 12, shuffle=True),
+                      BatchLoader(ds, 12, shuffle=False),
+                      variables, tf,
+                      CLIPFinetuneConfig(epochs=1, save_root=str(tmp_path)),
+                      mesh=mesh, model=model, image_size=32, save=False,
+                      log=lambda *_: None)

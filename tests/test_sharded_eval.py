@@ -51,7 +51,9 @@ def test_sharded_seg_eval_ragged_tail_matches_single_device():
     sharded = BatchLoader(ds, 8, shuffle=False)
     res_sharded = evaluate_model("AttentionUNet", sharded, variables,
                                  log=lambda *_: None, mesh=mesh)
-    assert sharded.pad_to_multiple == mesh.size
+    # the caller's loader must come back untouched (r3 advisor: eval used to
+    # leave sharding+padding set, corrupting later mesh-less reuse)
+    assert sharded.pad_to_multiple is None and sharded.sharding is None
 
     for k in res_plain:
         assert res_sharded[k] == pytest.approx(res_plain[k], rel=1e-4), k
