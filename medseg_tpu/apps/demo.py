@@ -14,7 +14,9 @@ from pathlib import Path
 
 from medseg_tpu.core.config import EvalConfig
 
-# Selector-for-selector port of reference demo/design.css:1-101.
+# Verbatim copy of reference demo/design.css:1-101 (MIT; attribution header
+# in the file).  Presentation data kept byte-identical as part of the demo
+# parity surface — like the CSV schemas and log formats, not program logic.
 CSS = (Path(__file__).with_name("design.css")).read_text()
 
 CLS_CHOICES = ["ResNet18", "ResNet50", "VGG16", "VGG19", "CLIP"]
@@ -53,7 +55,27 @@ def make_handlers(processor, gr):
     return handle, clear_all
 
 
-def create_interface(cfg: EvalConfig = EvalConfig()):
+def warmup_pipeline(processor, cls_name: str = "ResNet18",
+                    seg_name: str = "ResNetUnet", log=print):
+    """Compile the default model pair's jitted forwards before serving —
+    the single-image twin of InferenceServer.warmup (the gradio demo
+    handles one upload at a time, so only the B=1 grid needs warming)."""
+    import time
+
+    import numpy as np
+
+    t0 = time.time()
+    processor._load_models(cls_name, seg_name)
+    batch = np.zeros((1, 64, 64, 3), np.uint8)
+    processor._predict_classification(
+        processor._to_grid(batch, *processor.input_grid(cls_name)))
+    processor._predict_segmentation(
+        processor._to_grid(batch, *processor.input_grid(seg_name)))
+    log(f"[demo] warmup ({cls_name}+{seg_name}) {time.time() - t0:.1f}s")
+
+
+def create_interface(cfg: EvalConfig = EvalConfig(), *,
+                     return_processor: bool = False):
     try:
         import gradio as gr
     except ImportError as e:
@@ -112,7 +134,7 @@ def create_interface(cfg: EvalConfig = EvalConfig()):
         submit.click(handle, [input_image, cls_dd, seg_dd, opacity],
                      [diagnosis, confidence, output_image, details])
         clear.click(clear_all, [], [diagnosis, confidence, output_image, details])
-    return ui
+    return (ui, processor) if return_processor else ui
 
 
 def builtin_demo_page() -> str:
@@ -262,13 +284,19 @@ def launch_builtin_demo(cfg: EvalConfig = EvalConfig(),
 
 
 def launch_demo(share: bool = False, cfg: EvalConfig = EvalConfig(),
-                **builtin_kwargs):
-    """Gradio demo when gradio is installed; builtin web UI otherwise."""
+                host: str = "127.0.0.1", port: int = 7860,
+                warmup: bool = True):
+    """Gradio demo when gradio is installed; builtin web UI otherwise.
+
+    host/port/warmup apply to BOTH surfaces (r3 advisor fix: the gradio
+    path used to drop them silently — ui.launch ignored the CLI flags)."""
     try:
-        ui = create_interface(cfg)
+        ui, processor = create_interface(cfg, return_processor=True)
     except RuntimeError as e:
         print(f"[demo] {e.__cause__ or e}; falling back to the builtin "
               "web UI (same surface, stdlib HTTP)")
-        launch_builtin_demo(cfg, **builtin_kwargs)
+        launch_builtin_demo(cfg, host=host, port=port, warmup=warmup)
         return
-    ui.launch(share=share)
+    if warmup:
+        warmup_pipeline(processor)
+    ui.launch(share=share, server_name=host, server_port=port)
