@@ -159,18 +159,20 @@ class UpConv(nn.Module):
 
 
 class _Conv1x1Params(nn.Module):
-    """Declaration-only twin of nn.Conv(features, (1,1)): same param tree
-    (kernel [1,1,C_in,F] + bias), same initializers — but returns the raw
+    """Declaration-only twin of nn.Conv(features, (k,k)): same param tree
+    (kernel [k,k,C_in,F] + bias), same initializers — but returns the raw
     parameters instead of applying the conv, so a caller can fold BatchNorm
-    into them (see _FusedConvBN1x1)."""
+    into them (_FusedConvBN1x1) or re-lay them out (nn/s2d.py)."""
 
     features: int
     c_in: int
+    kernel_size: int = 1
 
     @nn.compact
     def __call__(self):
+        k = self.kernel_size
         kernel = self.param("kernel", nn.initializers.lecun_normal(),
-                            (1, 1, self.c_in, self.features), jnp.float32)
+                            (k, k, self.c_in, self.features), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros,
                           (self.features,), jnp.float32)
         return kernel, bias
