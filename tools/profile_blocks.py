@@ -1,0 +1,139 @@
+"""Isolated hardware A/B of the r4 block experiments (run on the TPU).
+
+Measures, at the exact shapes of the r3 per-block profile (PERF.md
+"Segmentation backward", B=64):
+
+- up2       : UpConv(64) on [B,128,128,128]   vs UpConvS2D      (0x FLOP delta)
+- conv1     : DoubleConv(64) on [B,256,256,3] vs DoubleConvS2D  (4x FLOPs)
+- up_conv2  : DoubleConv(64) on [B,256,256,128] vs DoubleConvS2D(4x FLOPs)
+- att2 gate : AttentionGate(32) fused_stats True vs False (g,x [B,256,256,64])
+
+Timing follows bench.py's relay methodology: AOT compile, post-compile
+warmup, best-of-3 K-step windows forced by ONE scalar fetch.  fwd and
+fwd+bwd (grads wrt params of a mean-square loss, train=True so BN batch
+stats are live) are reported separately.
+
+Usage:  nohup python tools/profile_blocks.py [exp ...] > /tmp/blocks.log 2>&1 &
+        (exps default to all of: up2 conv1 up_conv2 gate; B via BLOCKS_B)
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _measure(name, fn, args, k=8, windows=3):
+    compiled = fn.lower(*args).compile()
+    t0 = time.perf_counter()
+    float(jnp.asarray(compiled(*args)).astype(jnp.float32).sum())
+    print(f"  [{name}] first exec {time.perf_counter() - t0:.1f}s",
+          flush=True)
+
+    def wall():
+        t0 = time.perf_counter()
+        outs = [compiled(*args) for _ in range(k)]
+        total = jnp.stack([jnp.asarray(o).astype(jnp.float32).sum()
+                           for o in outs]).sum()
+        float(total)
+        return time.perf_counter() - t0
+
+    wall()  # warmup window
+    best = min(wall() for _ in range(windows))
+    ms = best / k * 1e3
+    print(f"  [{name}] {ms:.2f} ms/step (best of {windows}, K={k})",
+          flush=True)
+    return ms
+
+
+def _fwd_and_fb(label, module, variables, inputs):
+    """Report fwd and fwd+bwd ms for `module.apply(variables, *inputs,
+    train=True)` with params/batch_stats as jit ARGUMENTS."""
+
+    @jax.jit
+    def fwd(params, stats, *xs):
+        out, _ = module.apply({"params": params, "batch_stats": stats},
+                              *xs, train=True, mutable=["batch_stats"])
+        return out.astype(jnp.float32).mean()
+
+    @jax.jit
+    def fb(params, stats, *xs):
+        def loss(p):
+            out, _ = module.apply({"params": p, "batch_stats": stats},
+                                  *xs, train=True, mutable=["batch_stats"])
+            return (out.astype(jnp.float32) ** 2).mean()
+        l, g = jax.value_and_grad(loss)(params)
+        return l + sum(jnp.sum(x).astype(jnp.float32)
+                       for x in jax.tree_util.tree_leaves(g))
+
+    args = (variables["params"], variables["batch_stats"]) + tuple(inputs)
+    f = _measure(f"{label} fwd", fwd, args)
+    b = _measure(f"{label} f+b", fb, args)
+    return f, b
+
+
+def main():
+    from medseg_tpu.nn.blocks import AttentionGate, DoubleConv, UpConv
+    from medseg_tpu.nn.s2d import DoubleConvS2D, UpConvS2D
+
+    exps = sys.argv[1:] or ["up2", "conv1", "up_conv2", "gate"]
+    b = int(os.environ.get("BLOCKS_B", "64"))
+    dt = jnp.bfloat16
+    rng = np.random.default_rng(0)
+    print(f"backend={jax.default_backend()} B={b}", flush=True)
+    results = {}
+
+    def rand(*shape):
+        return jnp.asarray(rng.standard_normal(shape), dt)
+
+    if "up2" in exps:
+        x = rand(b, 128, 128, 128)
+        plain, s2d = UpConv(64, dtype=dt), UpConvS2D(64, dtype=dt)
+        v = plain.init(jax.random.key(0), x)
+        print("== up2: UpConv(64) [B,128,128,128] -> 256px ==", flush=True)
+        results["up2_plain"] = _fwd_and_fb("plain", plain, v, (x,))
+        results["up2_s2d"] = _fwd_and_fb("s2d  ", s2d, v, (x,))
+
+    if "conv1" in exps:
+        x = rand(b, 256, 256, 3)
+        plain, s2d = DoubleConv(64, dtype=dt), DoubleConvS2D(64, dtype=dt)
+        v = plain.init(jax.random.key(0), x)
+        print("== conv1: DoubleConv(64) [B,256,256,3] ==", flush=True)
+        results["conv1_plain"] = _fwd_and_fb("plain", plain, v, (x,))
+        results["conv1_s2d"] = _fwd_and_fb("s2d  ", s2d, v, (x,))
+
+    if "up_conv2" in exps:
+        x = rand(b, 256, 256, 128)
+        plain, s2d = DoubleConv(64, dtype=dt), DoubleConvS2D(64, dtype=dt)
+        v = plain.init(jax.random.key(0), x)
+        print("== up_conv2: DoubleConv(64) [B,256,256,128] ==", flush=True)
+        results["up_conv2_plain"] = _fwd_and_fb("plain", plain, v, (x,))
+        results["up_conv2_s2d"] = _fwd_and_fb("s2d  ", s2d, v, (x,))
+
+    if "gate" in exps:
+        g = rand(b, 256, 256, 64)
+        x = rand(b, 256, 256, 64)
+        fused = AttentionGate(32, dtype=dt)
+        plain = AttentionGate(32, dtype=dt, fused_stats=False)
+        v = plain.init(jax.random.key(0), g, x)
+        print("== att2: AttentionGate(32) g,x [B,256,256,64] ==", flush=True)
+        results["gate_plain"] = _fwd_and_fb("plain", plain, v, (g, x))
+        results["gate_fused"] = _fwd_and_fb("fused", fused, v, (g, x))
+
+    print("\nsummary (fwd ms, f+b ms):", flush=True)
+    for k, (f, fb_) in results.items():
+        print(f"  {k:16s} {f:8.2f} {fb_:8.2f}", flush=True)
+
+
+if __name__ == "__main__":
+    from medseg_tpu.core.jax_cache import enable_persistent_cache
+    enable_persistent_cache()
+    main()
