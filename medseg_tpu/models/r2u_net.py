@@ -16,6 +16,7 @@ from flax import linen as nn
 
 from medseg_tpu.core.registry import register_model
 from medseg_tpu.nn.blocks import AttentionGate, RRCNNBlock, UpConv, max_pool
+from medseg_tpu.nn.s2d import UpConvS2D
 
 
 class R2UNet(nn.Module):
@@ -23,6 +24,7 @@ class R2UNet(nn.Module):
     t: int = 5
     attention: bool = False
     use_scan: bool = False  # lax.scan recurrence: constant compile size in t
+    s2d_up: bool = False  # decoder UpConvs as UpConvS2D (nn/s2d.py)
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -36,7 +38,8 @@ class R2UNet(nn.Module):
         x5 = RRCNNBlock(1024, t=t, use_scan=self.use_scan, dtype=dt, name="rrcnn5")(max_pool(x4), train)
 
         def up_stage(deep, skip, width, f_int, idx):
-            d = UpConv(width, dtype=dt, name=f"up{idx}")(deep, train)
+            up_cls = UpConvS2D if self.s2d_up else UpConv
+            d = up_cls(width, dtype=dt, name=f"up{idx}")(deep, train)
             if self.attention:
                 skip = AttentionGate(f_int, dtype=dt, name=f"att{idx}")(d, skip, train)
             d = jnp.concatenate([skip, d], axis=-1)

@@ -105,3 +105,25 @@ def test_keep_s2d_layout(pair):
     kept = s2d.apply(variables, x, train=False, keep_s2d=True)
     np.testing.assert_allclose(np.asarray(depth_to_space(kept)),
                                np.asarray(full), rtol=0, atol=0)
+
+
+@pytest.mark.parametrize("name,kw", [
+    ("AttentionUNet", {}),
+    ("R2Unet", {"t": 2}),
+    ("R2AttUnet", {"t": 2}),
+])
+def test_model_s2d_up_flag_equivalent(name, kw):
+    """s2d_up=True swaps every decoder UpConv for UpConvS2D with the same
+    variables; model outputs must match the plain lowering."""
+    from medseg_tpu.core.registry import get_model
+
+    factory = get_model(name)["factory"]
+    plain = factory(dtype=jnp.float32, **kw)
+    s2d = factory(dtype=jnp.float32, s2d_up=True, **kw)
+    x = jnp.asarray(np.random.default_rng(0).standard_normal((1, 32, 32, 3)),
+                    jnp.float32)
+    variables = plain.init(jax.random.key(0), x)
+    out_p = plain.apply(variables, x, train=False)
+    out_s = s2d.apply(variables, x, train=False)
+    np.testing.assert_allclose(np.asarray(out_s), np.asarray(out_p),
+                               rtol=0, atol=1e-4)
