@@ -94,3 +94,36 @@ def test_unfused_option_still_available():
     v = gate.init(jax.random.key(1), g, g)
     out = gate.apply(v, g, g, train=False)
     assert out.shape == (1, 4, 4, 8)
+
+
+def test_fused_gate_stats_sync_under_mesh():
+    """The algebraic channel mean/Gram must reduce over the GLOBAL batch
+    when the input is sharded across a data-parallel mesh (the fused twin
+    of flax BN's free cross-replica sync; jit inserts the collectives).
+    Sharded train-mode output must equal the single-device one."""
+    from medseg_tpu.parallel import (batch_sharding, data_parallel_mesh,
+                                     replicated)
+
+    mesh = data_parallel_mesh()
+    gate = AttentionGate(f_int=8)
+    rng = np.random.default_rng(7)
+    g = jnp.asarray(rng.standard_normal((8, 4, 4, 16)), jnp.float32)
+    x = jnp.asarray(rng.standard_normal((8, 4, 4, 16)), jnp.float32)
+    variables = gate.init(jax.random.key(0), g, x)
+
+    @jax.jit
+    def train_out(v, g, x):
+        out, mut = gate.apply(v, g, x, train=True, mutable=["batch_stats"])
+        return out, mut
+
+    ref, mut_ref = train_out(variables, g, x)
+    vs = jax.device_put(variables, replicated(mesh))
+    gs = jax.device_put(g, batch_sharding(mesh))
+    xs = jax.device_put(x, batch_sharding(mesh))
+    out, mut = train_out(vs, gs, xs)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=0, atol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(mut),
+                    jax.tree_util.tree_leaves(mut_ref)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=0, atol=1e-6)
