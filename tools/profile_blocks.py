@@ -128,6 +128,39 @@ def main():
         results["gate_plain"] = _fwd_and_fb("plain", plain, v, (g, x))
         results["gate_fused"] = _fwd_and_fb("fused", fused, v, (g, x))
 
+    if "resnetunet" in exps:
+        # eval-mode fwd profile of the seg-e2e headline model's decoder tail
+        # (encoder is 73% MXU-bound per the r2 zoo profile; the question is
+        # where the decoder's time goes at 256px / low channel counts)
+        from medseg_tpu.models.resnet_unet import DecoderBlock
+
+        taps = {"e1": (128, 64), "e2": (64, 256), "e3": (32, 512),
+                "e4": (16, 1024), "e5": (8, 2048)}
+        feats = {"decoder5": (1024, "e5", "e4"), "decoder4": (512, "d5", "e3"),
+                 "decoder3": (256, "d4", "e2"), "decoder2": (64, "d3", "e1")}
+        shapes = dict(taps)
+        shapes["d5"] = (16, 1024)
+        shapes["d4"] = (32, 512)
+        shapes["d3"] = (64, 256)
+        print("== ResNetUnet decoder blocks (eval fwd, B=%d) ==" % b,
+              flush=True)
+        for name, (f, down, skip) in feats.items():
+            hs, cd = shapes[down]
+            hk, ck = shapes[skip]
+            blk = DecoderBlock(f, dtype=dt)
+            xd, xk = rand(b, hs, hs, cd), rand(b, hk, hk, ck)
+            v = blk.init(jax.random.key(0), xd, xk)
+
+            @jax.jit
+            def fwd(params, stats, xd, xk):
+                out = blk.apply({"params": params, "batch_stats": stats},
+                                xd, xk, train=False)
+                return out.astype(jnp.float32).mean()
+
+            ms = _measure(name, fwd,
+                          (v["params"], v["batch_stats"], xd, xk))
+            results[name] = (ms, float("nan"))
+
     print("\nsummary (fwd ms, f+b ms):", flush=True)
     for k, (f, fb_) in results.items():
         print(f"  {k:16s} {f:8.2f} {fb_:8.2f}", flush=True)
