@@ -283,6 +283,8 @@ def _evaluate_with_retry(name, loader, cfg, extra, log, mesh):
     weak #5).  Training got the same treatment in train_model_resilient."""
     from medseg_tpu.core.errors import is_transient_runtime_error
 
+    import time
+
     try:
         return evaluate_model(name, loader, None, cfg, extra, log, mesh=mesh)
     except Exception as e:
@@ -290,7 +292,8 @@ def _evaluate_with_retry(name, loader, cfg, extra, log, mesh):
             raise
         headline = str(e).splitlines()[0] if str(e) else repr(e)
         log(f"\n[WARN] transient runtime failure testing {name} "
-            f"({headline}); retrying once")
+            f"({headline}); retrying once in 30s")
+        time.sleep(30)  # let a relay blip clear before re-dispatching
         return evaluate_model(name, loader, None, cfg, extra, log, mesh=mesh)
 
 

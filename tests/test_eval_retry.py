@@ -2,6 +2,8 @@
 retry the (stateless) model eval once, and a persisted transport failure must
 be labeled distinctly from a real model failure in the skip log."""
 
+import time
+
 import jax
 import pytest
 
@@ -27,6 +29,7 @@ def _stub(results):
 
 
 def test_transient_failure_retries_once_and_recovers(monkeypatch):
+    monkeypatch.setattr(time, "sleep", lambda s: None)
     fake, calls = _stub([jax.errors.JaxRuntimeError("UNAVAILABLE: relay"),
                          {"accuracy": 97.0}])
     monkeypatch.setattr(harness, "evaluate_model", fake)
@@ -40,6 +43,7 @@ def test_transient_failure_retries_once_and_recovers(monkeypatch):
 
 
 def test_persistent_transient_failure_is_labeled(monkeypatch):
+    monkeypatch.setattr(time, "sleep", lambda s: None)
     fake, calls = _stub([jax.errors.JaxRuntimeError("UNAVAILABLE: relay"),
                          jax.errors.JaxRuntimeError("UNAVAILABLE: relay")])
     monkeypatch.setattr(harness, "evaluate_model", fake)
