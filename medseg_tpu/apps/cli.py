@@ -404,7 +404,10 @@ def main(argv=None):
     # device-claim wedge clears in ~10 min and would otherwise kill the run
     # at import-adjacent depth with an opaque RuntimeError (the exact failure
     # that ate BENCH_r03).  Pure-host commands skip it.
-    if args.cmd not in ("install-data", "split", "pack"):
+    # "bench" is excluded: bench.py pins its own platform (BENCH_SMALL=1
+    # forces CPU after this point, which an already-initialized backend
+    # would silently ignore) and runs its own guarded init retry.
+    if args.cmd not in ("install-data", "split", "pack", "bench"):
         from medseg_tpu.core.errors import (force_cpu_if_requested,
                                             init_backend_with_retry)
 

@@ -127,6 +127,7 @@ def init_backend_with_retry(attempts: int = 5,
     cannot hang, and test suites monkeypatch jax.devices in-process)."""
     import time
 
+    attempts = max(1, attempts)  # env-var 0/negative still means "try once"
     if probe is None:
         if _wants_tpu():
             probe = lambda: probe_backend(probe_timeout)  # noqa: E731

@@ -71,6 +71,13 @@ class BatchLoader:
     def num_samples(self):
         return len(self.indices)
 
+    def _stop(self, n: int) -> int:
+        """Index past the last yielded sample — the ONE place the drop_last
+        boundary rule lives (shared by __iter__ and real_counts so the
+        zip(loader, loader.real_counts()) consumers can never desync)."""
+        bs = self.batch_size
+        return (n // bs) * bs if self.drop_last else n
+
     def real_counts(self):
         """Per-batch REAL sample counts, ignoring pad_to_multiple padding.
 
@@ -79,8 +86,7 @@ class BatchLoader:
         these counts so padded rows never enter metrics (eval/harness.py,
         the finetuners' val loops)."""
         n, bs = self.num_samples, self.batch_size
-        stop = (n // bs) * bs if self.drop_last else n
-        return [min(bs, n - s) for s in range(0, stop, bs)]
+        return [min(bs, n - s) for s in range(0, self._stop(n), bs)]
 
     def _put(self, arr: np.ndarray):
         if self.sharding is not None:
@@ -92,8 +98,7 @@ class BatchLoader:
         if self.shuffle:
             self._rng.shuffle(order)
         bs = self.batch_size
-        n = len(order)
-        stop = (n // bs) * bs if self.drop_last else n
+        stop = self._stop(len(order))
         # sharding may be assigned AFTER construction (train_model does this
         # for mesh runs), so the single-device cache must yield to it at
         # iteration time, not only at __init__.

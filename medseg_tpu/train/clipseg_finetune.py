@@ -75,6 +75,12 @@ def finetune_clipseg(
                                          require_divisible_batch)
 
         require_divisible_batch(mesh, train_loader, val_loader)
+        # shallow-copy so the caller's loaders are not left sharded /
+        # tail-dropping / padded after the run (same fix as eval's)
+        import copy
+
+        train_loader = copy.copy(train_loader)
+        val_loader = copy.copy(val_loader)
         train_loader.sharding = batch_sharding(mesh)
         val_loader.sharding = batch_sharding(mesh)
         # train batches must divide across the data axis; drop ragged tails

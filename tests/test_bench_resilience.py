@@ -198,3 +198,33 @@ def test_probe_skipped_on_cpu_platform():
     assert not errors._wants_tpu()
     backend, n = errors.init_backend_with_retry(attempts=1, log=None)
     assert backend == "cpu" and n >= 1
+
+
+def test_init_retry_attempts_zero_means_once():
+    """MEDSEG_INIT_RETRIES=0 must try once, not die on an 'unreachable'
+    assertion (review r4 finding)."""
+    from medseg_tpu.core import errors
+
+    backend, n = errors.init_backend_with_retry(attempts=0, log=None)
+    assert backend == "cpu" and n >= 1
+
+
+def test_cli_bench_skips_eager_backend_init(monkeypatch):
+    """`medseg bench` must NOT init the backend in cli.main(): bench.py pins
+    its own platform (BENCH_SMALL=1 forces CPU after main() runs — an
+    already-initialized backend would ignore it) and has its own retry."""
+    import runpy
+
+    from medseg_tpu.apps import cli
+    from medseg_tpu.core import errors
+
+    def boom(*a, **k):
+        raise AssertionError("cli.main initialized the backend for bench")
+
+    monkeypatch.setattr(errors, "init_backend_with_retry", boom)
+    ran = {}
+    monkeypatch.setattr(runpy, "run_path",
+                        lambda path, run_name=None: ran.setdefault(
+                            "path", path))
+    cli.main(["bench"])
+    assert ran["path"].endswith("bench.py")

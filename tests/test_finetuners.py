@@ -189,3 +189,22 @@ def test_finetune_mesh_rejects_indivisible_batch(tmp_path):
                       CLIPFinetuneConfig(epochs=1, save_root=str(tmp_path)),
                       mesh=mesh, model=model, image_size=32, save=False,
                       log=lambda *_: None)
+
+
+def test_mesh_finetune_leaves_caller_loaders_untouched(tmp_path):
+    """The mesh paths shallow-copy the loaders (review r4): the caller's
+    objects must come back with no sharding/drop_last/padding attached."""
+    mesh = data_parallel_mesh()
+    model = CLIPClassifier(vision_cfg=TINY_VISION, projection_dim=16)
+    tf = np.random.default_rng(0).standard_normal((3, 16)).astype(np.float32)
+    tf /= np.linalg.norm(tf, axis=-1, keepdims=True)
+    variables = model.init(jax.random.key(0),
+                           jnp.zeros((1, 32, 32, 3)), jnp.asarray(tf))
+    ds = synthetic_cls(n=28, img_size=32)
+    tr = BatchLoader(ds, 8, shuffle=True, indices=np.arange(16))
+    va = BatchLoader(ds, 8, shuffle=False, indices=np.arange(16, 28))
+    cfg = CLIPFinetuneConfig(epochs=1, lr=0.0, save_root=str(tmp_path))
+    finetune_clip(tr, va, variables, tf, cfg, mesh=mesh, model=model,
+                  image_size=32, save=False, log=lambda *_: None)
+    assert tr.sharding is None and tr.drop_last is False
+    assert va.sharding is None and va.pad_to_multiple is None
