@@ -468,11 +468,48 @@ def bench_zoo(small: bool, fast: bool):
     return out
 
 
+def _arm_watchdog(budget_s: float):
+    """Hard backstop for the failure mode retries cannot catch: a program
+    EXECUTION that hangs inside the relay RPC (observed in the r4 outage —
+    init can block 25+ min; an in-flight step can too).  The cooperative
+    DEADLINE only helps between sections; if a section never returns, this
+    daemon thread emits the headline JSON built from the partial results
+    and hard-exits, so the driver always captures a parsed artifact.
+    Disarmed by main() printing first (the flag flip)."""
+    import threading
+
+    done = threading.Event()
+
+    def fire():
+        if done.is_set():
+            return
+        ERRORS["watchdog"] = (f"wall budget + grace exceeded "
+                              f"({budget_s:.0f}s+600s); a section hung")
+        infer = PARTIAL.get("infer")
+        result = {"metric": "images/sec/chip end-to-end (aug+infer, 256px, "
+                            "ResNet18 bf16)",
+                  "value": round(infer, 1) if infer else 0.0,
+                  "unit": "images/sec/chip",
+                  "vs_baseline": round(infer / 5000.0, 3) if infer else 0.0,
+                  **{k: v for k, v in PARTIAL.items() if k != "infer"},
+                  "errors": ERRORS, "compile_seconds": COMPILE_SECONDS}
+        _checkpoint_partial()
+        print(json.dumps(result), flush=True)
+        os._exit(1)
+
+    t = threading.Timer(budget_s + 600.0, fire)
+    t.daemon = True
+    t.start()
+    return done
+
+
 def main():
     global CACHE_DIR, DEADLINE
     small = os.environ.get("BENCH_SMALL") == "1"
     DEADLINE = time.monotonic() + float(os.environ.get("BENCH_BUDGET_S",
                                                        "4500"))
+    watchdog_done = _arm_watchdog(float(os.environ.get("BENCH_BUDGET_S",
+                                                       "4500")))
     cold_cache = False
     if small:
         jax.config.update("jax_platforms", "cpu")
@@ -499,6 +536,7 @@ def main():
                   "value": 0.0, "unit": "images/sec/chip", "vs_baseline": 0.0,
                   "errors": ERRORS}
         _checkpoint_partial()
+        watchdog_done.set()
         print(json.dumps(result))
         sys.exit(1)
     print(f"[bench] backend={backend} devices={ndev}", file=sys.stderr)
@@ -542,6 +580,7 @@ def main():
         result["errors"] = ERRORS
     PARTIAL.update(result)
     _checkpoint_partial()
+    watchdog_done.set()
     print(json.dumps(result))
     # headline metric present -> success even if a zoo entry errored;
     # a dead headline is a failed bench (but the JSON above still parsed)

@@ -228,3 +228,40 @@ def test_cli_bench_skips_eager_backend_init(monkeypatch):
                             "path", path))
     cli.main(["bench"])
     assert ran["path"].endswith("bench.py")
+
+
+def test_watchdog_emits_partial_json_and_disarms(monkeypatch, capsys):
+    """If a section hangs in the relay RPC, the watchdog must print a
+    parseable headline JSON from the partial results; a normal finish
+    disarms it."""
+    import os
+
+    exited = {}
+    monkeypatch.setattr(os, "_exit", lambda rc: exited.setdefault("rc", rc))
+
+    fired = {}
+
+    class _FakeTimer:
+        def __init__(self, delay, fn):
+            fired["fn"] = fn
+            self.daemon = None
+
+        def start(self):
+            pass
+
+    import threading
+    monkeypatch.setattr(threading, "Timer", _FakeTimer)
+
+    bench.PARTIAL["infer"] = 111.0
+    bench.PARTIAL["train"] = 55.0
+    done = bench._arm_watchdog(100.0)
+    fired["fn"]()  # simulate the timer firing mid-hang
+    out = capsys.readouterr().out.strip().splitlines()[-1]
+    data = json.loads(out)
+    assert data["value"] == 111.0 and data["train"] == 55.0
+    assert "watchdog" in data["errors"] and exited["rc"] == 1
+
+    # disarmed: firing after done.set() prints nothing
+    done.set()
+    fired["fn"]()
+    assert capsys.readouterr().out == ""
