@@ -24,6 +24,11 @@ class AttentionUNet(nn.Module):
     # param tree, zero FLOP inflation; nn/s2d.py).  Off by default pending
     # the hardware A/B (tools/profile_blocks.py).
     s2d_up: bool = False
+    # fused_gates=True lowers the attention gates with algebraic-stats BN
+    # fusion (nn/blocks.AttentionGate) instead of literal per-conv BN
+    # passes.  Off by default: measured 2-16% SLOWER at the full-step level
+    # despite a 2x isolated-block win (PERF.md r4 post-mortem).
+    fused_gates: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -36,22 +41,26 @@ class AttentionUNet(nn.Module):
         x5 = DoubleConv(1024, dtype=dt, name="conv5")(max_pool(x4), train)
 
         d5 = Up(512, dtype=dt, name="up5")(x5, train)
-        a4 = AttentionGate(256, dtype=dt, name="att5")(d5, x4, train)
+        a4 = AttentionGate(256, dtype=dt, fused_stats=self.fused_gates,
+                           name="att5")(d5, x4, train)
         d5 = DoubleConv(512, dtype=dt, name="up_conv5")(
             jnp.concatenate([a4, d5], axis=-1), train)
 
         d4 = Up(256, dtype=dt, name="up4")(d5, train)
-        a3 = AttentionGate(128, dtype=dt, name="att4")(d4, x3, train)
+        a3 = AttentionGate(128, dtype=dt, fused_stats=self.fused_gates,
+                           name="att4")(d4, x3, train)
         d4 = DoubleConv(256, dtype=dt, name="up_conv4")(
             jnp.concatenate([a3, d4], axis=-1), train)
 
         d3 = Up(128, dtype=dt, name="up3")(d4, train)
-        a2 = AttentionGate(64, dtype=dt, name="att3")(d3, x2, train)
+        a2 = AttentionGate(64, dtype=dt, fused_stats=self.fused_gates,
+                           name="att3")(d3, x2, train)
         d3 = DoubleConv(128, dtype=dt, name="up_conv3")(
             jnp.concatenate([a2, d3], axis=-1), train)
 
         d2 = Up(64, dtype=dt, name="up2")(d3, train)
-        a1 = AttentionGate(32, dtype=dt, name="att2")(d2, x1, train)
+        a1 = AttentionGate(32, dtype=dt, fused_stats=self.fused_gates,
+                           name="att2")(d2, x1, train)
         d2 = DoubleConv(64, dtype=dt, name="up_conv2")(
             jnp.concatenate([a1, d2], axis=-1), train)
 

@@ -25,6 +25,7 @@ class R2UNet(nn.Module):
     attention: bool = False
     use_scan: bool = False  # lax.scan recurrence: constant compile size in t
     s2d_up: bool = False  # decoder UpConvs as UpConvS2D (nn/s2d.py)
+    fused_gates: bool = False  # algebraic-stats gate fusion (r4: slower in-graph)
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -41,7 +42,9 @@ class R2UNet(nn.Module):
             up_cls = UpConvS2D if self.s2d_up else UpConv
             d = up_cls(width, dtype=dt, name=f"up{idx}")(deep, train)
             if self.attention:
-                skip = AttentionGate(f_int, dtype=dt, name=f"att{idx}")(d, skip, train)
+                skip = AttentionGate(f_int, dtype=dt,
+                                     fused_stats=self.fused_gates,
+                                     name=f"att{idx}")(d, skip, train)
             d = jnp.concatenate([skip, d], axis=-1)
             return RRCNNBlock(width, t=t, use_scan=self.use_scan, dtype=dt, name=f"up_rrcnn{idx}")(d, train)
 

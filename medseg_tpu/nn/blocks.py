@@ -266,18 +266,27 @@ class AttentionGate(nn.Module):
     (reference models/segmentation_models/AttentionUNet.py:29-54):
     psi = sigmoid(BN(1x1(relu(W_g g + W_x x)))); returns x * psi.
 
-    fused_stats=True (default): the W_g/W_x ConvBNs lower as BN-folded
-    affine contractions whose train-mode batch statistics come from the
-    inputs' channel mean/Gram (see _FusedConvBN1x1) — the gate's three
+    fused_stats=True: the W_g/W_x ConvBNs lower as BN-folded affine
+    contractions whose train-mode batch statistics come from the inputs'
+    channel mean/Gram (see _FusedConvBN1x1) — the gate's three
     full-resolution BN materialization passes collapse to two fused
     einsum passes plus tiny [C,C] matmuls.  Identical variable tree and
     (to reduction-order tolerance) identical numerics as the unfused path;
-    equality is pinned by tests/test_models_shapes.py and the torch-oracle
-    parity tests."""
+    equality is pinned by tests/test_fused_gate.py and the torch-oracle
+    parity tests.
+
+    DEFAULT OFF after the r4 hardware A/B (PERF.md "Fused gate / s2d
+    post-mortem"): isolated, the fusion is 2x (f+b 28.7 -> 14.5 ms at
+    B=64); inside the full AttentionUNet train step it is a 2-16%
+    REGRESSION (B=16: 80-83 ms unfused vs 84-85 fused; B=64: 316 vs
+    367 ms) — in-graph, XLA already fuses the plain BN stat/normalize
+    passes into the surrounding convs, while the Gram contractions
+    (E[x x^T] over all pixels, both inputs) and their backward are new
+    un-fusable full-tensor matmuls."""
 
     f_int: int
     dtype: jnp.dtype = jnp.float32
-    fused_stats: bool = True
+    fused_stats: bool = False
 
     @nn.compact
     def __call__(self, g, x, train: bool = False):

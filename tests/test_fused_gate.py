@@ -4,8 +4,10 @@ The fused path (nn/blocks._FusedConvBN1x1) folds the gate's W_g/W_x
 BatchNorms into the pointwise convs and computes the train-mode batch
 statistics ALGEBRAICALLY from the inputs' channel mean/Gram instead of
 materializing the full-resolution conv outputs (reference gate math:
-models/segmentation_models/AttentionUNet.py:29-54).  These tests pin the
-contract that makes it safe to ship as the default:
+models/segmentation_models/AttentionUNet.py:29-54).  The r4 hardware A/B
+measured it SLOWER at the full-step level, so it ships default-OFF
+(PERF.md post-mortem); these tests pin the contract that keeps the
+opt-in lowering safe:
 
 - identical variable tree (checkpoints/converters untouched),
 - identical eval-mode outputs (exact fold, no stats involved),
@@ -28,7 +30,7 @@ def _tree_paths(tree):
 
 @pytest.fixture(scope="module")
 def gate_pair():
-    fused = AttentionGate(f_int=8)
+    fused = AttentionGate(f_int=8, fused_stats=True)
     plain = AttentionGate(f_int=8, fused_stats=False)
     rng = np.random.default_rng(0)
     g = jnp.asarray(rng.standard_normal((2, 8, 8, 16)), jnp.float32)
@@ -87,8 +89,8 @@ def test_train_mode_gradients(gate_pair):
 
 
 def test_unfused_option_still_available():
-    """fused_stats=False stays a supported escape hatch (PERF.md records
-    the measurement that made fused the default)."""
+    """fused_stats=False is the default lowering after the r4 full-step
+    A/B (PERF.md records the measurement)."""
     gate = AttentionGate(f_int=4, fused_stats=False)
     g = jnp.zeros((1, 4, 4, 8))
     v = gate.init(jax.random.key(1), g, g)
@@ -105,7 +107,7 @@ def test_fused_gate_stats_sync_under_mesh():
                                      replicated)
 
     mesh = data_parallel_mesh()
-    gate = AttentionGate(f_int=8)
+    gate = AttentionGate(f_int=8, fused_stats=True)
     rng = np.random.default_rng(7)
     g = jnp.asarray(rng.standard_normal((8, 4, 4, 16)), jnp.float32)
     x = jnp.asarray(rng.standard_normal((8, 4, 4, 16)), jnp.float32)

@@ -128,6 +128,92 @@ def main():
         results["gate_plain"] = _fwd_and_fb("plain", plain, v, (g, x))
         results["gate_fused"] = _fwd_and_fb("fused", fused, v, (g, x))
 
+    if "segstep" in exps:
+        # End-to-end AttentionUNet train step (fused aug + fwd + bwd + AdamW,
+        # bench.py's exact config and window methodology): the adoption
+        # decision for model-level lowerings (s2d_up, fused gates) is made on
+        # THIS number — block isolation over-weights the shallow blocks.
+        import numpy as _np
+
+        from medseg_tpu.core.registry import get_model
+        from medseg_tpu.ops.augment import augment_batch
+        from medseg_tpu.train import steps as S
+        from medseg_tpu.train.freeze import finetune_filter, \
+            mask_from_predicate
+
+        batch = int(os.environ.get("SEGSTEP_B", "16"))
+        steps, size = 16, 256
+        variants = [("base   ", dict()),  # shipped defaults
+                    ("s2d_on ", dict(s2d_up=True)),
+                    ("fused  ", dict(fused_gates=True)),
+                    # diagnostic upper bound: gates replaced by identity —
+                    # the most ANY gate lowering could save in-graph
+                    ("nogate ", dict(_nogate=True))]
+
+        from flax import linen as fnn
+
+        import medseg_tpu.models.attention_unet as AU
+
+        class _IdentityGate(fnn.Module):
+            f_int: int
+            dtype: jnp.dtype = jnp.float32
+            fused_stats: bool = True
+
+            @fnn.compact
+            def __call__(self, g, x, train=False):
+                return x
+
+        _orig_gate = AU.AttentionGate
+        images = jnp.asarray(_np.random.default_rng(0).integers(
+            0, 256, (batch, size, size, 3), dtype=_np.uint8))
+        masks = jnp.asarray((_np.random.default_rng(1).random(
+            (batch, size, size)) > 0.5).astype(_np.uint8) * 255)
+        print(f"== AttentionUNet full train step, B={batch} ==", flush=True)
+        for label, kw in variants:
+            AU.AttentionGate = _IdentityGate if kw.pop("_nogate", False) \
+                else _orig_gate
+            model = get_model("AttentionUNet")["factory"](
+                dtype=jnp.bfloat16, **kw)
+            rng = jax.random.key(0)
+            variables = model.init(
+                {"params": rng, "dropout": rng},
+                jnp.zeros((1, size, size, 3), jnp.float32))
+            mask = mask_from_predicate(variables["params"],
+                                       finetune_filter("AttentionUNet"))
+            optimizer = S.build_optimizer(1e-4, 5e-4, 1.0, mask)
+            state = S.init_state(model, variables, optimizer)
+
+            def prep(key, imgs, msks):
+                return augment_batch(key, imgs, msks,
+                                     out_dtype=jnp.bfloat16)
+
+            train_step = S.make_seg_train_step(model, optimizer, prep=prep)
+
+            def run(k, key0, state):
+                t0 = time.perf_counter()
+                acc = jnp.zeros((), jnp.float32)
+                for i in range(k):
+                    state, loss = train_step(
+                        state, images, masks, jax.random.key(key0 + i),
+                        jax.random.key(key0 + 10_000 + i))
+                    acc = acc + loss
+                float(acc)
+                return time.perf_counter() - t0, state
+
+            t0 = time.perf_counter()
+            _, state = run(2, 0, state)
+            print(f"  [{label}] compile+warmup "
+                  f"{time.perf_counter() - t0:.1f}s", flush=True)
+            best = 1e18
+            for r in range(3):
+                t, state = run(steps, 100 + 50 * r, state)
+                best = min(best, t)
+            ms = best / steps * 1e3
+            results[f"segstep_{label.strip()}"] = (float("nan"), ms)
+            print(f"  [{label}] {ms:.1f} ms/step = "
+                  f"{batch * steps / best:.1f} img/s", flush=True)
+        AU.AttentionGate = _orig_gate
+
     if "resnetunet" in exps:
         # eval-mode fwd profile of the seg-e2e headline model's decoder tail
         # (encoder is 73% MXU-bound per the r2 zoo profile; the question is
