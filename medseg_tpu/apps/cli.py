@@ -105,6 +105,7 @@ def _cmd_train(args):
         with trace_context(args.profile):
             res = train_model_resilient(name, train, val, cfg, mesh=mesh,
                                         resume=args.resume,
+                                        scan_chunk=args.scan_chunk,
                                         max_restarts=args.auto_restart)
         results[name] = res.best_score
 
@@ -355,6 +356,11 @@ def main(argv=None):
                          "relay/transport runtime failures (0 disables)")
     sp.add_argument("--data-parallel", action="store_true",
                     help="shard batches over all devices (Mesh('data'))")
+    sp.add_argument("--scan-chunk", type=int, default=0,
+                    help="run K train steps per dispatched program "
+                         "(lax.scan over the HBM dataset cache; exact same "
+                         "math/RNG stream — removes the relay's per-dispatch "
+                         "floor; single-device only)")
     sp.add_argument("--profile", default=None,
                     help="jax.profiler trace directory (TensorBoard-loadable)")
     sp = add("eval", _cmd_eval)

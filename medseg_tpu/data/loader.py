@@ -88,6 +88,25 @@ class BatchLoader:
         n, bs = self.num_samples, self.batch_size
         return [min(bs, n - s) for s in range(0, self._stop(n), bs)]
 
+    def epoch_index_batches(self):
+        """One epoch's batch indices for the scan-epoch driver
+        (train/steps.scan_epoch): ([n_full, B] int32 with rows sorted,
+        tail_idx or None).
+
+        Consumes the shuffle RNG exactly like one __iter__ pass, so a
+        scan-driven epoch sees the same sample order the per-step loop
+        would.  The ragged tail (when not drop_last) cannot join the
+        stacked array; the caller runs it as one ordinary dispatched step."""
+        order = self.indices.copy()
+        if self.shuffle:
+            self._rng.shuffle(order)
+        bs = self.batch_size
+        stop = self._stop(len(order))
+        n_full = stop // bs
+        full = np.sort(order[:n_full * bs].reshape(n_full, bs), axis=1)
+        tail = np.sort(order[n_full * bs:stop]) if stop > n_full * bs else None
+        return full.astype(np.int32), tail
+
     def _put(self, arr: np.ndarray):
         if self.sharding is not None:
             return jax.device_put(arr, self.sharding)

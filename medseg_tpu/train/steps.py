@@ -65,15 +65,11 @@ def init_state(model, variables, optimizer) -> TrainState:
     )
 
 
-def make_cls_train_step(model, optimizer, label_smoothing: float = 0.1,
-                        prep=None):
-    """Returns jitted (state, images, labels, rng) -> (state, loss, correct).
-
-    prep: optional (rng, images, targets) -> (x, targets) preprocessing
-    (the device augmentation chain) fused INTO the step program — one
-    dispatch per step instead of two, and the augmented batch never
-    round-trips through HBM between programs.  With prep, the step takes an
-    extra aug_rng arg so the caller's key stream matches the unfused form."""
+def cls_train_body(model, optimizer, label_smoothing: float = 0.1,
+                   prep=None):
+    """Un-jitted step body (state, images, labels, rng, aug_rng) ->
+    (state, loss, correct) — jitted whole by make_cls_train_step, or scanned
+    K-at-a-time by scan_epoch (one dispatched program per K steps)."""
 
     def step(state: TrainState, images, labels, rng, aug_rng=None):
         if prep is not None:
@@ -96,12 +92,25 @@ def make_cls_train_step(model, optimizer, label_smoothing: float = 0.1,
                               opt_state=new_opt, step=state.step + 1)
         return state, loss, correct
 
-    return jax.jit(step, donate_argnums=(0,))
+    return step
 
 
-def make_seg_train_step(model, optimizer, loss_name: str = "bce", prep=None):
-    """Returns jitted (state, images, masks, rng) -> (state, loss).
-    prep: optional fused preprocessing, as in make_cls_train_step."""
+def make_cls_train_step(model, optimizer, label_smoothing: float = 0.1,
+                        prep=None):
+    """Returns jitted (state, images, labels, rng) -> (state, loss, correct).
+
+    prep: optional (rng, images, targets) -> (x, targets) preprocessing
+    (the device augmentation chain) fused INTO the step program — one
+    dispatch per step instead of two, and the augmented batch never
+    round-trips through HBM between programs.  With prep, the step takes an
+    extra aug_rng arg so the caller's key stream matches the unfused form."""
+    return jax.jit(cls_train_body(model, optimizer, label_smoothing, prep),
+                   donate_argnums=(0,))
+
+
+def seg_train_body(model, optimizer, loss_name: str = "bce", prep=None):
+    """Un-jitted step body (state, images, masks, rng, aug_rng) ->
+    (state, loss); see cls_train_body."""
     loss_fns = {
         "bce": losses.bce_with_logits,
         "combined": losses.combined_loss,
@@ -130,7 +139,78 @@ def make_seg_train_step(model, optimizer, loss_name: str = "bce", prep=None):
                               opt_state=new_opt, step=state.step + 1)
         return state, loss
 
-    return jax.jit(step, donate_argnums=(0,))
+    return step
+
+
+def make_seg_train_step(model, optimizer, loss_name: str = "bce", prep=None):
+    """Returns jitted (state, images, masks, rng) -> (state, loss).
+    prep: optional fused preprocessing, as in make_cls_train_step."""
+    return jax.jit(seg_train_body(model, optimizer, loss_name, prep),
+                   donate_argnums=(0,))
+
+
+def scan_epoch(body, donate_carry: bool = True, split_rng: bool = True):
+    """Multi-step driver: run K steps of `body` inside ONE dispatched program
+    via lax.scan over an HBM-resident dataset.
+
+    Through the demand-driven relay every dispatched program pays a ~2-3 ms
+    floor (PERF.md "relay dispatch floor") and the single-core host adds
+    per-step Python dispatch work; scanning K steps per dispatch removes
+    both, turning an epoch into ceil(n_steps/K) dispatches.  This is the
+    idiomatic TPU epoch shape: device-resident data (BatchLoader
+    device_cache), compiler control flow (lax.scan), host sync once per
+    chunk.  The reference's hot loop dispatches per batch by construction
+    (utils/helpers.py:317-337); this is the tpu-first redesign of it.
+
+    body: (carry, images, targets, rng, aug_rng) -> (carry, *outs) — e.g.
+        cls_train_body / seg_train_body (carry = TrainState).
+
+    With split_rng=True (the trainer's path) the returned driver is
+        drive(carry, images_all, targets_all, idx, rng) ->
+        (carry, rng', *stacked_outs)
+    and each scanned step performs `rng, aug_rng, drop_rng = split(rng, 3)`
+    INSIDE the program — the exact key sequence of the per-step host loop,
+    without the loop's K tiny split dispatches through the relay.  The
+    caller threads rng' back as its running key.
+
+    With split_rng=False the driver is
+        drive(carry, images_all, targets_all, idx, *streams) ->
+        (carry, *stacked_outs)
+    where each stream is a [K, ...]-stacked per-step input (e.g. explicit
+    key arrays) passed to the body after the gathered batch.
+
+    images_all/targets_all are the full device-cached arrays and idx is
+    [K, B] int32 (rows sorted, as BatchLoader yields).  Each scanned step
+    gathers its batch on device — the same jnp.take the cached loader path
+    performs, ~1% of a train step at 256px."""
+
+    def _batch(arr, i):
+        return jnp.take(arr, i, axis=0, unique_indices=True,
+                        indices_are_sorted=True)
+
+    if split_rng:
+        def drive(carry, images_all, targets_all, idx, rng):
+            def one(cs, i):
+                c, r = cs
+                r, aug_rng, drop_rng = jax.random.split(r, 3)
+                out = body(c, _batch(images_all, i), _batch(targets_all, i),
+                           drop_rng, aug_rng)
+                return (out[0], r), out[1:]
+
+            (carry, rng), outs = jax.lax.scan(one, (carry, rng), idx)
+            return (carry, rng) + tuple(outs)
+    else:
+        def drive(carry, images_all, targets_all, idx, *streams):
+            def one(c, xs):
+                i, rest = xs[0], xs[1:]
+                out = body(c, _batch(images_all, i), _batch(targets_all, i),
+                           *rest)
+                return out[0], out[1:]
+
+            carry, outs = jax.lax.scan(one, carry, (idx,) + streams)
+            return (carry,) + tuple(outs)
+
+    return jax.jit(drive, donate_argnums=(0,) if donate_carry else ())
 
 
 def make_cls_eval_step(model, label_smoothing: float = 0.1):

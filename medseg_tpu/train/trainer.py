@@ -132,6 +132,7 @@ def train_model(
     save: bool = True,
     mesh=None,
     resume: bool = False,
+    scan_chunk: int = 0,
     log: Callable[[str], None] = print,
 ) -> TrainResult:
     """Train one registry model end-to-end; returns best score (acc% or loss).
@@ -141,6 +142,12 @@ def train_model(
     generalization of the reference's single-GPU loop, SURVEY.md §2.4).
     resume: restart from the `{name}_resume` orbax checkpoint if present
     (capability absent in the reference, SURVEY.md §5).
+    scan_chunk: run K train steps per dispatched program via lax.scan over
+    the HBM-resident dataset cache (steps.scan_epoch) — removes the relay's
+    per-dispatch floor and the host's per-step Python work from the epoch.
+    Requires train_loader.device_cache and no mesh (falls back to the
+    per-step loop with a log line otherwise).  Math, RNG stream, and epoch
+    statistics are EXACTLY the per-step loop's (tests/test_scan_epoch.py).
     """
     entry = get_model(name)
     if entry.get("needs_text_features"):
@@ -204,6 +211,17 @@ def train_model(
     resume_at_stage_boundary = in_stage2 and saved_stage == 1
 
     # --- optimizer / stage setup ------------------------------------------
+    use_scan = scan_chunk > 1 and mesh is None and train_loader.device_cache
+    if scan_chunk > 1 and not use_scan:
+        log(f"[scan_chunk] disabled: requires device_cache and no mesh "
+            f"(device_cache={train_loader.device_cache}, mesh={mesh is not None})")
+
+    def _scan_driver(optimizer):
+        body = (S.seg_train_body(model, optimizer, prep=train_prep) if seg
+                else S.cls_train_body(model, optimizer, cfg.label_smoothing,
+                                      prep=train_prep))
+        return S.scan_epoch(body)
+
     if seg:
         mask = mask_from_predicate(variables["params"], finetune_filter(name))
         optimizer = S.build_optimizer(cfg.lr, cfg.weight_decay,
@@ -226,6 +244,7 @@ def train_model(
         eval_step = S.make_cls_eval_step(model, cfg.label_smoothing)
 
     state = S.init_state(model, variables, optimizer)
+    scan_drive = _scan_driver(optimizer) if use_scan else None
 
     stopper = EarlyStopping(cfg.early_stop_patience, mode="min" if seg else "max")
     plateau: Optional[ReduceLROnPlateau] = None
@@ -268,6 +287,8 @@ def train_model(
                                           cfg.grad_clip_norm, mask2)
             train_step = S.make_cls_train_step(model, optimizer, cfg.label_smoothing,
                                                prep=train_prep)
+            if use_scan:
+                scan_drive = _scan_driver(optimizer)
             state = state.replace(opt_state=optimizer.init(state.params))
             plateau = ReduceLROnPlateau(cfg.lr, "max", cfg.plateau_factor,
                                         cfg.plateau_patience)
@@ -291,17 +312,48 @@ def train_model(
         loss_acc = jnp.zeros((), jnp.float32)
         corr_acc = jnp.zeros((), jnp.int32)
         n_seen = 0
-        for images, targets in train_loader:
-            rng, aug_rng, drop_rng = jax.random.split(rng, 3)
-            if seg:
-                state, loss = train_step(state, images, targets, drop_rng,
-                                         aug_rng)
-            else:
-                state, loss, corr = train_step(state, images, targets,
-                                               drop_rng, aug_rng)
-                corr_acc = corr_acc + corr
-            loss_acc = loss_acc + loss * images.shape[0]
-            n_seen += images.shape[0]
+        if use_scan:
+            # scan-epoch path: K steps per dispatched program over the HBM
+            # dataset cache; batch order and RNG stream are EXACTLY the
+            # per-step loop's (loader.epoch_index_batches consumes the same
+            # shuffle, the key splits below are the same sequence).
+            idx_full, idx_tail = train_loader.epoch_index_batches()
+            images_d, target_d = train_loader._cached()
+            bs = train_loader.batch_size
+            for s in range(0, len(idx_full), scan_chunk):
+                chunk = jnp.asarray(idx_full[s:s + scan_chunk])
+                outs = scan_drive(state, images_d, target_d, chunk, rng)
+                state, rng, losses_k = outs[0], outs[1], outs[2]
+                if not seg:
+                    corr_acc = corr_acc + outs[3].sum()
+                loss_acc = loss_acc + losses_k.sum() * bs
+                n_seen += chunk.shape[0] * bs
+            if idx_tail is not None:
+                rng, aug_rng, drop_rng = jax.random.split(rng, 3)
+                idx_d = jax.device_put(idx_tail)
+                images = train_loader._gather(images_d, idx_d)
+                targets = train_loader._gather(target_d, idx_d)
+                if seg:
+                    state, loss = train_step(state, images, targets,
+                                             drop_rng, aug_rng)
+                else:
+                    state, loss, corr = train_step(state, images, targets,
+                                                   drop_rng, aug_rng)
+                    corr_acc = corr_acc + corr
+                loss_acc = loss_acc + loss * len(idx_tail)
+                n_seen += len(idx_tail)
+        else:
+            for images, targets in train_loader:
+                rng, aug_rng, drop_rng = jax.random.split(rng, 3)
+                if seg:
+                    state, loss = train_step(state, images, targets, drop_rng,
+                                             aug_rng)
+                else:
+                    state, loss, corr = train_step(state, images, targets,
+                                                   drop_rng, aug_rng)
+                    corr_acc = corr_acc + corr
+                loss_acc = loss_acc + loss * images.shape[0]
+                n_seen += images.shape[0]
         running_loss = float(loss_acc)
         correct = int(corr_acc)
 

@@ -1,0 +1,217 @@
+"""scan_epoch (train/steps.py): K train steps inside one dispatched program
+via lax.scan over the HBM-resident dataset cache.  Pins: (a) the scanned
+driver reproduces the dispatched per-step loop exactly (same batches, same
+RNG stream, same final params/opt state/losses), (b) the loader's
+epoch_index_batches yields the same batch order __iter__ would, (c)
+train_model(scan_chunk=K) end-to-end equals the per-step train_model run.
+
+These equalities are what make the scan path safe to flip on for
+throughput: it is the SAME computation, re-chunked for the compiler
+(one relay dispatch per K steps instead of per step)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from medseg_tpu.train import steps as S
+from medseg_tpu.train.freeze import all_trainable
+
+
+def _tiny_model():
+    from flax import linen as nn
+
+    class TinyCls(nn.Module):
+        @nn.compact
+        def __call__(self, x, train=False):
+            # use_bias=False: a bias feeding straight into BN has a ~0
+            # gradient (BN cancels it) that AdamW amplifies from float dust
+            # to O(lr) in arbitrary directions — both the loop and the scan
+            # do that "correctly" but not identically, so the exactness pin
+            # must not include such a degenerate leaf.
+            x = nn.Conv(4, (3, 3), use_bias=False, dtype=jnp.float32)(x)
+            x = nn.BatchNorm(use_running_average=not train, momentum=0.9)(x)
+            x = nn.relu(x).mean(axis=(1, 2))
+            return nn.Dense(3)(x)
+
+    return TinyCls()
+
+
+def _setup(seed=0):
+    model = _tiny_model()
+    rng = jax.random.key(seed)
+    variables = model.init({"params": rng, "dropout": rng},
+                           jnp.zeros((1, 8, 8, 3), jnp.float32))
+    optimizer = S.build_optimizer(1e-2, 1e-4, 1.0,
+                                  all_trainable(variables["params"]))
+    state = S.init_state(model, variables, optimizer)
+    return model, optimizer, state
+
+
+def _prep(key, images_u8, labels):
+    x = images_u8.astype(jnp.float32) / 255.0
+    return x + 0.01 * jax.random.normal(key, x.shape), labels
+
+
+def test_scan_matches_dispatched_loop():
+    model, optimizer, state0 = _setup()
+    body = S.cls_train_body(model, optimizer, 0.1, prep=_prep)
+    step = jax.jit(body)  # NOT donated: state0 reused for the scan run
+    drive = S.scan_epoch(body, donate_carry=False, split_rng=False)
+
+    rng = np.random.default_rng(0)
+    n, bs, k = 24, 4, 6
+    images = jnp.asarray(rng.integers(0, 256, (n, 8, 8, 3), dtype=np.uint8))
+    labels = jnp.asarray(rng.integers(0, 3, (n,), dtype=np.int32))
+    idx = np.arange(n, dtype=np.int32).reshape(k, bs)
+    keys = jax.random.split(jax.random.key(7), 2 * k)
+    drop_keys, aug_keys = keys[:k], keys[k:]
+
+    # dispatched loop
+    state = state0
+    losses, corrs = [], []
+    for i in range(k):
+        state, loss, corr = step(state, images[idx[i]], labels[idx[i]],
+                                 drop_keys[i], aug_keys[i])
+        losses.append(loss)
+        corrs.append(corr)
+
+    # one scanned program
+    state_s, losses_s, corrs_s = drive(state0, images, labels,
+                                       jnp.asarray(idx), drop_keys, aug_keys)
+
+    np.testing.assert_allclose(np.asarray(losses_s),
+                               np.asarray(jnp.stack(losses)),
+                               rtol=0, atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(corrs_s),
+                                  np.asarray(jnp.stack(corrs)))
+    for (pa, a), (pb, b) in zip(
+            jax.tree_util.tree_flatten_with_path(state_s.params)[0],
+            jax.tree_util.tree_flatten_with_path(state.params)[0]):
+        assert pa == pb
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=0, atol=1e-6, err_msg=str(pa))
+    np.testing.assert_allclose(
+        np.asarray(jax.tree_util.tree_leaves(state_s.batch_stats)[0]),
+        np.asarray(jax.tree_util.tree_leaves(state.batch_stats)[0]),
+        rtol=0, atol=1e-6)
+
+
+def test_scan_split_rng_matches_host_splits():
+    """split_rng=True performs split(rng, 3) inside the program; keys and
+    the returned running rng must equal the host loop's sequence."""
+    model, optimizer, state0 = _setup()
+    body = S.cls_train_body(model, optimizer, 0.1, prep=_prep)
+    step = jax.jit(body)
+    drive = S.scan_epoch(body, donate_carry=False, split_rng=True)
+
+    data_rng = np.random.default_rng(2)
+    n, bs, k = 12, 4, 3
+    images = jnp.asarray(data_rng.integers(0, 256, (n, 8, 8, 3),
+                                           dtype=np.uint8))
+    labels = jnp.asarray(data_rng.integers(0, 3, (n,), dtype=np.int32))
+    idx = np.arange(n, dtype=np.int32).reshape(k, bs)
+
+    rng = jax.random.key(42)
+    state = state0
+    losses = []
+    for i in range(k):
+        rng, aug_rng, drop_rng = jax.random.split(rng, 3)
+        state, loss, _ = step(state, images[idx[i]], labels[idx[i]],
+                              drop_rng, aug_rng)
+        losses.append(loss)
+
+    state_s, rng_s, losses_s, _ = drive(state0, images, labels,
+                                        jnp.asarray(idx), jax.random.key(42))
+    np.testing.assert_array_equal(np.asarray(jax.random.key_data(rng_s)),
+                                  np.asarray(jax.random.key_data(rng)))
+    np.testing.assert_allclose(np.asarray(losses_s),
+                               np.asarray(jnp.stack(losses)),
+                               rtol=0, atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(jax.tree_util.tree_leaves(state_s.params)[0]),
+        np.asarray(jax.tree_util.tree_leaves(state.params)[0]),
+        rtol=0, atol=1e-6)
+
+
+def test_epoch_index_batches_matches_iter(tmp_path):
+    from medseg_tpu.data.loader import BatchLoader
+    from medseg_tpu.data.packed import PackedDataset
+
+    rng = np.random.default_rng(0)
+    images = rng.integers(0, 256, (11, 4, 4, 3), dtype=np.uint8)
+    labels = rng.integers(0, 3, (11,), dtype=np.int64)
+    ds = PackedDataset(images=images, labels=labels, masks=None)
+
+    for drop_last in (False, True):
+        a = BatchLoader(ds, 4, shuffle=True, seed=3, drop_last=drop_last)
+        b = BatchLoader(ds, 4, shuffle=True, seed=3, drop_last=drop_last)
+        # two epochs: the rng must advance identically
+        for _ in range(2):
+            got_iter = [np.asarray(img) for img, _ in a]
+            full, tail = b.epoch_index_batches()
+            got_idx = [images[row] for row in full]
+            if tail is not None:
+                got_idx.append(images[tail])
+            assert len(got_iter) == len(got_idx)
+            for x, y in zip(got_iter, got_idx):
+                np.testing.assert_array_equal(x, y)
+        if drop_last:
+            assert tail is None
+        else:
+            assert tail is not None and len(tail) == 3
+
+
+@pytest.mark.parametrize("seg", [False, True])
+def test_train_model_scan_chunk_equivalent(tmp_path, seg):
+    """train_model(scan_chunk=2) == train_model() on a tiny run: same final
+    params and same best score (exact same math + RNG stream)."""
+    from medseg_tpu.core.config import AugmentConfig, TrainConfig
+    from medseg_tpu.data.loader import BatchLoader
+    from medseg_tpu.data.packed import PackedDataset
+    from medseg_tpu.train.trainer import train_model
+
+    rng = np.random.default_rng(1)
+    n, size = 22, 32
+    images = rng.integers(0, 256, (n, size, size, 3), dtype=np.uint8)
+    if seg:
+        masks = (rng.random((n, size, size)) > 0.5).astype(np.uint8) * 255
+        ds = PackedDataset(images=images, labels=None, masks=masks)
+        name = "AttentionUNet"
+    else:
+        labels = rng.integers(0, 3, (n,), dtype=np.int64)
+        ds = PackedDataset(images=images, labels=labels, masks=None)
+        name = "ResNet18"
+
+    cfg = TrainConfig(epochs=2, stage1_epochs=1, lr=1e-4, stage1_lr=1e-3,
+                      compute_dtype="float32",
+                      save_root=str(tmp_path / "w"))
+    aug = AugmentConfig()
+
+    def run(**kw):
+        tr = BatchLoader(ds, 4, shuffle=True, seed=5, device_cache=True,
+                         indices=np.arange(18))
+        va = BatchLoader(ds, 4, shuffle=False, indices=np.arange(18, 22))
+        lines = []
+        res = train_model(name, tr, va, cfg, aug, seed=11, save=False,
+                          log=lines.append, **kw)
+        return res, [ln for ln in lines if "TrainLoss" in ln]
+
+    res_a, log_a = run()
+    res_b, log_b = run(scan_chunk=2)
+    # The per-epoch loss lines are the wiring pin: any batch-order or RNG
+    # mismatch shifts TrainLoss/ValLoss in the 3rd decimal immediately,
+    # while scan-vs-loop float rounding sits at ~1e-6.  Exact param equality
+    # and the thresholded metrics (Acc/IoU) cannot be asserted: conv biases
+    # feeding BN are degenerate leaves (~0 gradient that AdamW amplifies
+    # from float dust, see _tiny_model's comment; the parity-mandated
+    # U-Net/ResNet graphs contain them), and on random data the dust moves
+    # near-zero logits across the 0.5 threshold.
+    import re
+
+    assert len(log_a) == len(log_b) and len(log_a) == cfg.epochs
+    for la, lb in zip(log_a, log_b):
+        for key in ("TrainLoss", "ValLoss"):
+            va = float(re.search(key + r" (-?\d+\.\d+)", la).group(1))
+            vb = float(re.search(key + r" (-?\d+\.\d+)", lb).group(1))
+            assert va == pytest.approx(vb, abs=5e-3), f"{la!r} vs {lb!r}"
