@@ -14,7 +14,11 @@ fwd+bwd (grads wrt params of a mean-square loss, train=True so BN batch
 stats are live) are reported separately.
 
 Usage:  nohup python tools/profile_blocks.py [exp ...] > /tmp/blocks.log 2>&1 &
-        (exps default to all of: up2 conv1 up_conv2 gate; B via BLOCKS_B)
+        (exps default to all of: up2 conv1 up_conv2 gate; B via BLOCKS_B.
+         Full-step modes: segstep — AttentionUNet train-step A/B of
+         s2d_up/fused_gates/identity-gate, SEGSTEP_B; upt — ResNetUnet
+         seg_e2e + train-step A/B of up_as_dot, UPT_E2E_B/UPT_TRAIN_B;
+         resnetunet — decoder-block eval-fwd profile)
 """
 
 from __future__ import annotations
@@ -213,6 +217,102 @@ def main():
             print(f"  [{label}] {ms:.1f} ms/step = "
                   f"{batch * steps / best:.1f} img/s", flush=True)
         AU.AttentionGate = _orig_gate
+
+    if "upt" in exps:
+        # Full-step A/B for the ConvT2x2AsDot lowering (resnet_unet.py):
+        # (a) bench.py's exact seg_e2e recipe (fused 4-plane aug +
+        # ResNetUnet bf16 fwd + threshold, B=128) and (b) the ResNetUnet
+        # train step (frozen encoder, fused aug + fwd + bwd + AdamW).
+        # Standing rule: the adoption decision is made on THESE numbers.
+        import numpy as _np
+
+        from medseg_tpu.core.registry import get_model
+        from medseg_tpu.ops.augment import augment_batch
+        from medseg_tpu.train import steps as S
+        from medseg_tpu.train.freeze import finetune_filter, \
+            mask_from_predicate
+
+        size = 256
+        be = int(os.environ.get("UPT_E2E_B", "128"))
+        bt = int(os.environ.get("UPT_TRAIN_B", "32"))
+        img_e = jnp.asarray(_np.random.default_rng(0).integers(
+            0, 256, (be, size, size, 3), dtype=_np.uint8))
+        msk_e = jnp.asarray((_np.random.default_rng(1).random(
+            (be, size, size)) > 0.5).astype(_np.uint8) * 255)
+        img_t, msk_t = img_e[:bt], msk_e[:bt]
+
+        for label, kw in [("plain", dict()), ("asdot", dict(up_as_dot=True))]:
+            model = get_model("ResNetUnet")["factory"](
+                dtype=jnp.bfloat16, **kw)
+            rng = jax.random.key(0)
+            variables = model.init(
+                {"params": rng, "dropout": rng},
+                jnp.zeros((1, size, size, 3), jnp.float32))
+
+            print(f"== ResNetUnet seg_e2e ({label}), B={be} ==", flush=True)
+
+            @jax.jit
+            def e2e(variables, key, images_u8, masks_u8):
+                x, m = augment_batch(key, images_u8, masks_u8,
+                                     out_dtype=jnp.bfloat16)
+                logits = model.apply(variables, x)
+                pred = jax.nn.sigmoid(logits.astype(jnp.float32)) > 0.5
+                return (pred.sum() + m.astype(jnp.float32).sum()
+                        ).astype(jnp.float32)
+
+            def wall_e2e(k, key0):
+                t0 = time.perf_counter()
+                outs = [e2e_c(variables, jax.random.key(key0 + i),
+                              img_e, msk_e) for i in range(k)]
+                float(jnp.stack(outs).sum())
+                return time.perf_counter() - t0
+
+            e2e_c = e2e.lower(variables, jax.random.key(0),
+                              img_e, msk_e).compile()
+            t0 = time.perf_counter()
+            wall_e2e(2, 0)
+            print(f"  [{label}] first exec+warmup "
+                  f"{time.perf_counter() - t0:.1f}s", flush=True)
+            best = min(wall_e2e(10, 100 + 50 * r) for r in range(3))
+            results[f"upt_e2e_{label}"] = (best / 10 * 1e3, float("nan"))
+            print(f"  [{label}] {best / 10 * 1e3:.1f} ms/step = "
+                  f"{be * 10 / best:.1f} img/s", flush=True)
+
+            print(f"== ResNetUnet train step ({label}), B={bt} ==",
+                  flush=True)
+            mask = mask_from_predicate(variables["params"],
+                                       finetune_filter("ResNetUnet"))
+            optimizer = S.build_optimizer(1e-4, 5e-4, 1.0, mask)
+            state = S.init_state(model, variables, optimizer)
+
+            def prep(key, imgs, msks):
+                return augment_batch(key, imgs, msks, out_dtype=jnp.bfloat16)
+
+            train_step = S.make_seg_train_step(model, optimizer, prep=prep)
+
+            def wall_tr(k, key0, state):
+                t0 = time.perf_counter()
+                acc = jnp.zeros((), jnp.float32)
+                for i in range(k):
+                    state, loss = train_step(
+                        state, img_t, msk_t, jax.random.key(key0 + i),
+                        jax.random.key(key0 + 10_000 + i))
+                    acc = acc + loss
+                float(acc)
+                return time.perf_counter() - t0, state
+
+            t0 = time.perf_counter()
+            _, state = wall_tr(2, 0, state)
+            print(f"  [{label}] compile+warmup "
+                  f"{time.perf_counter() - t0:.1f}s", flush=True)
+            best, steps_ = 1e18, 16
+            for r in range(3):
+                t, state = wall_tr(steps_, 100 + 50 * r, state)
+                best = min(best, t)
+            results[f"upt_train_{label}"] = (float("nan"),
+                                             best / steps_ * 1e3)
+            print(f"  [{label}] {best / steps_ * 1e3:.1f} ms/step = "
+                  f"{bt * steps_ / best:.1f} img/s", flush=True)
 
     if "resnetunet" in exps:
         # eval-mode fwd profile of the seg-e2e headline model's decoder tail
