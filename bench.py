@@ -34,10 +34,15 @@ Resilience (r4, after BENCH_r03 died at backend init with rc=1 and no JSON):
 
 Timing notes: on the axon-tunneled TPU, `block_until_ready` returns before
 execution (demand-driven); throughput is therefore measured as wall time of
-K dispatched steps forced by a single scalar fetch, which bounds dispatch +
-device time from above.  Single windows through the relay can read 5-10x
-steady state, so every number is best-of-3.  BENCH_SMALL=1 runs a tiny CPU
-smoke config.  BENCH_NO_ZOO=1 skips the zoo sweep (it is ON by default —
+K steps forced by a single scalar fetch, which bounds dispatch + device time
+from above.  Single windows through the relay can read 5-10x steady state,
+so every number is best-of-3.  Since r4 the four headline sections measure
+the scan-epoch driver (train/steps.scan_epoch — K steps inside ONE
+dispatched program over HBM-resident data, the `--scan-chunk` epoch shape;
+exact-math equality with the per-step loop is pinned by
+tests/test_scan_epoch.py); the per-step-dispatch numbers are kept in the
+"dispatched" field for continuity with r1-r3.  BENCH_SMALL=1 runs a tiny
+CPU smoke config.  BENCH_NO_ZOO=1 skips the zoo sweep (it is ON by default —
 the driver-run artifact must regress all 10 models, VERDICT r2 weak #3).
 """
 
@@ -53,6 +58,8 @@ import numpy as np
 COMPILE_SECONDS = {}
 ERRORS = {}
 PARTIAL = {}
+DISPATCHED = {}  # per-dispatch-loop numbers (pre-r4 methodology), kept for
+                 # continuity next to the scan-epoch headline numbers
 CACHE_DIR = None
 CACHE_MISSES = []
 DEADLINE = None  # absolute time.monotonic() cutoff, set in main()
@@ -218,7 +225,58 @@ def bench_inference(small: bool):
     # best of 3 windows: single-window readings through the demand-driven
     # relay occasionally report 5-10x the steady-state time
     best = min(wall(steps, key0=100 + 50 * r) for r in range(3))
-    return batch * steps / best
+    DISPATCHED["e2e"] = round(batch * steps / best, 1)
+
+    # scan-epoch variant (the r4 headline): K aug+infer steps inside ONE
+    # dispatched program over an HBM-resident image set — the shipped
+    # `--scan-chunk` epoch shape, with zero per-step dispatch/fetch overhead
+    # (PERF.md "relay dispatch floor").
+    n_data = batch * 4
+    data = jax.device_put(np.random.default_rng(2).integers(
+        0, 256, (n_data, size, size, 3), dtype=np.uint8))
+    idx = _epoch_idx(n_data, batch, steps)
+
+    @jax.jit
+    def scan_prog(variables, data, idx, key):
+        def one(carry, i):
+            k, acc = carry
+            k, kstep = jax.random.split(k)
+            x, _ = augment_batch(
+                kstep,
+                jnp.take(data, i, axis=0, unique_indices=True,
+                         indices_are_sorted=True),
+                out_dtype=jnp.bfloat16)
+            logits = model.apply(variables, x)
+            acc = acc + jnp.argmax(logits, -1).sum().astype(jnp.float32)
+            return (k, acc), None
+
+        (_, acc), _ = jax.lax.scan(
+            one, (key, jnp.zeros((), jnp.float32)), idx)
+        return acc
+
+    scan_c = _aot("infer_scan_aug+resnet18_B%dxK%d" % (batch, steps),
+                  scan_prog, variables, data, idx, jax.random.key(0))
+
+    def wall_scan(seed):
+        t0 = time.perf_counter()
+        float(scan_c(variables, data, idx, jax.random.key(seed)))
+        return time.perf_counter() - t0
+
+    wall_scan(0)  # warmup window
+    best_s = min(wall_scan(100 + r) for r in range(3))
+    return batch * steps / best_s
+
+
+def _epoch_idx(n_data: int, batch: int, steps: int) -> jnp.ndarray:
+    """[steps, batch] int32 batch indices over an n_data-image device set:
+    concatenated shuffled epochs, rows sorted (the BatchLoader layout)."""
+    rng = np.random.default_rng(42)
+    per_epoch = n_data // batch
+    rows = []
+    while len(rows) < steps:
+        perm = rng.permutation(n_data)[:per_epoch * batch]
+        rows.extend(np.sort(perm.reshape(per_epoch, batch), axis=1))
+    return jnp.asarray(np.stack(rows[:steps]).astype(np.int32))
 
 
 def bench_training(small: bool):
@@ -241,7 +299,9 @@ def bench_training(small: bool):
                            jnp.zeros((1, size, size, 3), jnp.float32))
     optimizer = S.build_optimizer(1e-6, 5e-4, 1.0,
                                   all_trainable(variables["params"]))
-    state = S.init_state(model, variables, optimizer)
+    # the dispatched loop DONATES its state, whose leaves are `variables`'
+    # buffers — hand it copies so the scan-epoch phase can re-init below
+    state = S.init_state(model, jax.tree.map(jnp.copy, variables), optimizer)
 
     def prep(key, images_u8, labels):
         x, _ = augment_batch(key, images_u8, out_dtype=jnp.bfloat16)
@@ -278,7 +338,37 @@ def bench_training(small: bool):
     for r in range(3):
         t, state = run(steps, 100 + 50 * r, state)
         best = min(best, t)
-    return batch * steps / best
+    DISPATCHED["train"] = round(batch * steps / best, 1)
+
+    # scan-epoch variant (headline): the framework's scan_chunk train driver
+    # — K steps per dispatch over the HBM dataset cache, in-program key
+    # splitting (train/steps.scan_epoch; equality-pinned by
+    # tests/test_scan_epoch.py).
+    body = S.cls_train_body(model, optimizer, 0.1, prep=prep)
+    drive = S.scan_epoch(body)
+    n_data = batch * 4
+    data = jax.device_put(np.random.default_rng(2).integers(
+        0, 256, (n_data, size, size, 3), dtype=np.uint8))
+    lab = jax.device_put(np.random.default_rng(3).integers(
+        0, 3, (n_data,), dtype=np.int32))
+    idx = _epoch_idx(n_data, batch, steps)
+    state_s = S.init_state(model, variables, optimizer)
+    drive_c = _aot("train_scan_resnet18_B%dxK%d" % (batch, steps), drive,
+                   state_s, data, lab, idx, jax.random.key(0))
+
+    def run_scan(seed, state_s):
+        t0 = time.perf_counter()
+        outs = drive_c(state_s, data, lab, idx, jax.random.key(seed))
+        state_s = outs[0]
+        float(outs[2].sum())
+        return time.perf_counter() - t0, state_s
+
+    _, state_s = run_scan(0, state_s)  # warmup window
+    best_s = 1e18
+    for r in range(3):
+        t, state_s = run_scan(100 + r, state_s)
+        best_s = min(best_s, t)
+    return batch * steps / best_s
 
 
 # batch sizes from the r2 sweep (PERF.md): every model gains 5-20% from the
@@ -307,7 +397,8 @@ def bench_training_seg(small: bool):
     mask = mask_from_predicate(variables["params"],
                                finetune_filter("AttentionUNet"))
     optimizer = S.build_optimizer(1e-4, 5e-4, 1.0, mask)
-    state = S.init_state(model, variables, optimizer)
+    # copies: the dispatched loop donates these buffers (see bench_training)
+    state = S.init_state(model, jax.tree.map(jnp.copy, variables), optimizer)
 
     def prep(key, imgs, msks):
         return augment_batch(key, imgs, msks, out_dtype=jnp.bfloat16)
@@ -339,7 +430,34 @@ def bench_training_seg(small: bool):
     for r in range(3):
         t, state = run(steps, 100 + 50 * r, state)
         best = min(best, t)
-    return batch * steps / best
+    DISPATCHED["seg_train"] = round(batch * steps / best, 1)
+
+    # scan-epoch variant (headline) — see bench_training
+    body = S.seg_train_body(model, optimizer, prep=prep)
+    drive = S.scan_epoch(body)
+    n_data = batch * 4
+    data = jax.device_put(np.random.default_rng(2).integers(
+        0, 256, (n_data, size, size, 3), dtype=np.uint8))
+    msk = jax.device_put((np.random.default_rng(3).random(
+        (n_data, size, size)) > 0.5).astype(np.uint8) * 255)
+    idx = _epoch_idx(n_data, batch, steps)
+    state_s = S.init_state(model, variables, optimizer)
+    drive_c = _aot("seg_train_scan_attunet_B%dxK%d" % (batch, steps), drive,
+                   state_s, data, msk, idx, jax.random.key(0))
+
+    def run_scan(seed, state_s):
+        t0 = time.perf_counter()
+        outs = drive_c(state_s, data, msk, idx, jax.random.key(seed))
+        state_s = outs[0]
+        float(outs[2].sum())
+        return time.perf_counter() - t0, state_s
+
+    _, state_s = run_scan(0, state_s)  # warmup window
+    best_s = 1e18
+    for r in range(3):
+        t, state_s = run_scan(100 + r, state_s)
+        best_s = min(best_s, t)
+    return batch * steps / best_s
 
 
 def bench_seg_e2e(small: bool):
@@ -385,7 +503,46 @@ def bench_seg_e2e(small: bool):
 
     wall(warmup, key0=0)
     best = min(wall(steps, key0=100 + 50 * r) for r in range(3))
-    return batch * steps / best
+    DISPATCHED["seg_e2e"] = round(batch * steps / best, 1)
+
+    # scan-epoch variant (headline) — see bench_inference
+    n_data = batch * 4
+    data = jax.device_put(np.random.default_rng(2).integers(
+        0, 256, (n_data, size, size, 3), dtype=np.uint8))
+    msk_all = jax.device_put((np.random.default_rng(3).random(
+        (n_data, size, size)) > 0.5).astype(np.uint8) * 255)
+    idx = _epoch_idx(n_data, batch, steps)
+
+    @jax.jit
+    def scan_prog(variables, data, msk_all, idx, key):
+        def one(carry, i):
+            k, acc = carry
+            k, kstep = jax.random.split(k)
+            imgs = jnp.take(data, i, axis=0, unique_indices=True,
+                            indices_are_sorted=True)
+            msks = jnp.take(msk_all, i, axis=0, unique_indices=True,
+                            indices_are_sorted=True)
+            x, m = augment_batch(kstep, imgs, msks, out_dtype=jnp.bfloat16)
+            logits = model.apply(variables, x)
+            pred = jax.nn.sigmoid(logits.astype(jnp.float32)) > 0.5
+            acc = acc + pred.sum() + m.astype(jnp.float32).sum()
+            return (k, acc), None
+
+        (_, acc), _ = jax.lax.scan(
+            one, (key, jnp.zeros((), jnp.float32)), idx)
+        return acc
+
+    scan_c = _aot("seg_e2e_scan_aug+resnetunet_B%dxK%d" % (batch, steps),
+                  scan_prog, variables, data, msk_all, idx, jax.random.key(0))
+
+    def wall_scan(seed):
+        t0 = time.perf_counter()
+        float(scan_c(variables, data, msk_all, idx, jax.random.key(seed)))
+        return time.perf_counter() - t0
+
+    wall_scan(0)  # warmup window
+    best_s = min(wall_scan(100 + r) for r in range(3))
+    return batch * steps / best_s
 
 
 ZOO = (("ResNet18", 384, 256), ("ResNet50", 384, 256), ("VGG16", 256, 256),
@@ -567,6 +724,13 @@ def main():
             round(vals["seg_e2e"], 1) if vals["seg_e2e"] else None,
         "seg_e2e_metric": "images/sec/chip seg end-to-end "
                           "(fused 4-plane aug + ResNetUnet bf16 + threshold)",
+        # Headline numbers use the scan-epoch driver (K steps per dispatched
+        # program over HBM-resident data — the shipped `--scan-chunk` /
+        # train.steps.scan_epoch path, equality-pinned by
+        # tests/test_scan_epoch.py); `dispatched` keeps the pre-r4
+        # one-dispatch-per-step numbers for continuity.
+        "driver": "scan_epoch",
+        "dispatched": DISPATCHED,
     }
     if os.environ.get("BENCH_NO_ZOO") != "1":
         fast_env = os.environ.get("BENCH_FAST")
