@@ -93,12 +93,23 @@ def _cache_entries():
 def _checkpoint_partial():
     """Sidecar dump after every section: a hard kill mid-run still leaves
     machine-readable evidence for the round artifact."""
+    _mark_progress()
     try:
         with open("bench_partial.json", "w") as f:
-            json.dump({**PARTIAL, "errors": ERRORS,
+            json.dump({**PARTIAL, "driver": "scan_epoch",
+                       "dispatched": DISPATCHED, "errors": ERRORS,
                        "compile_seconds": COMPILE_SECONDS}, f)
     except OSError:
         pass
+
+
+LAST_PROGRESS = [time.monotonic()]
+
+
+def _mark_progress():
+    """Heartbeat for the watchdog: any completed compile or section proves
+    the run is advancing, not hung inside a relay RPC."""
+    LAST_PROGRESS[0] = time.monotonic()
 
 
 def _remaining() -> float:
@@ -125,6 +136,7 @@ def _aot(name: str, jitfn, *args):
             CACHE_MISSES.append(name)
         state = " cache=" + ("miss" if miss else "hit")
     print(f"[bench] compile {name}: {dt:.1f}s{state}", file=sys.stderr)
+    _mark_progress()
     return compiled
 
 
@@ -269,13 +281,19 @@ def bench_inference(small: bool):
 
 def _epoch_idx(n_data: int, batch: int, steps: int) -> jnp.ndarray:
     """[steps, batch] int32 batch indices over an n_data-image device set:
-    concatenated shuffled epochs, rows sorted (the BatchLoader layout)."""
-    rng = np.random.default_rng(42)
-    per_epoch = n_data // batch
+    concatenated shuffled epochs from the PRODUCTION index path
+    (BatchLoader.epoch_index_batches — what `--scan-chunk` trains on), so
+    the benchmark cannot drift from the shipped layout."""
+    from medseg_tpu.data.loader import BatchLoader
+    from medseg_tpu.data.packed import PackedDataset
+
+    ds = PackedDataset(images=np.zeros((n_data, 1, 1, 3), np.uint8),
+                       labels=np.zeros((n_data,), np.int64), masks=None)
+    loader = BatchLoader(ds, batch, shuffle=True, seed=42, drop_last=True)
     rows = []
     while len(rows) < steps:
-        perm = rng.permutation(n_data)[:per_epoch * batch]
-        rows.extend(np.sort(perm.reshape(per_epoch, batch), axis=1))
+        full, _ = loader.epoch_index_batches()
+        rows.extend(full)
     return jnp.asarray(np.stack(rows[:steps]).astype(np.int32))
 
 
@@ -632,16 +650,34 @@ def _arm_watchdog(budget_s: float):
     DEADLINE only helps between sections; if a section never returns, this
     daemon thread emits the headline JSON built from the partial results
     and hard-exits, so the driver always captures a parsed artifact.
+
+    Progress-aware (r4 review): past budget+600s it fires only after 900s
+    with NO heartbeat (_mark_progress — every compile and section bump it),
+    so a healthy-but-slow cold-cache run (the headline sections now stage
+    ~9 programs) keeps going as long as it demonstrably advances; a true
+    in-RPC hang is caught within ~15 min of the budget.  An absolute cap at
+    max(2x budget, budget+3600s) bounds the worst case regardless.
     Disarmed by main() printing first (the flag flip)."""
     import threading
 
     done = threading.Event()
+    t0 = time.monotonic()
+    hard_cap = max(2.0 * budget_s, budget_s + 3600.0)
 
-    def fire():
+    def check(now):
+        """Reason to fire at time `now`, or None to keep waiting."""
+        stalled = now - LAST_PROGRESS[0]
+        if now - t0 > hard_cap:
+            return f"hard cap exceeded ({hard_cap:.0f}s)"
+        if now - t0 > budget_s + 600.0 and stalled > 900.0:
+            return (f"wall budget + grace exceeded ({budget_s:.0f}s+600s) "
+                    f"with no progress for {stalled:.0f}s; a section hung")
+        return None
+
+    def fire(reason):
         if done.is_set():
             return
-        ERRORS["watchdog"] = (f"wall budget + grace exceeded "
-                              f"({budget_s:.0f}s+600s); a section hung")
+        ERRORS["watchdog"] = reason
         infer = PARTIAL.get("infer")
         result = {"metric": "images/sec/chip end-to-end (aug+infer, 256px, "
                             "ResNet18 bf16)",
@@ -649,14 +685,23 @@ def _arm_watchdog(budget_s: float):
                   "unit": "images/sec/chip",
                   "vs_baseline": round(infer / 5000.0, 3) if infer else 0.0,
                   **{k: v for k, v in PARTIAL.items() if k != "infer"},
+                  "driver": "scan_epoch", "dispatched": DISPATCHED,
                   "errors": ERRORS, "compile_seconds": COMPILE_SECONDS}
         _checkpoint_partial()
         print(json.dumps(result), flush=True)
         os._exit(1)
 
-    t = threading.Timer(budget_s + 600.0, fire)
-    t.daemon = True
+    def watch():
+        while not done.wait(30.0):
+            reason = check(time.monotonic())
+            if reason:
+                fire(reason)
+                return
+
+    t = threading.Thread(target=watch, daemon=True)
     t.start()
+    # exposed for tests (the thread itself is timing-driven)
+    done.check, done.fire = check, fire
     return done
 
 

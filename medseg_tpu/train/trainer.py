@@ -312,11 +312,29 @@ def train_model(
         loss_acc = jnp.zeros((), jnp.float32)
         corr_acc = jnp.zeros((), jnp.int32)
         n_seen = 0
+
+        def dispatch_one_step(images, targets):
+            # shared single-step bookkeeping: the per-step loop and the scan
+            # path's ragged tail MUST stay in lockstep (the equality
+            # tests/test_scan_epoch.py protects), so there is exactly one
+            # copy of it
+            nonlocal state, rng, loss_acc, corr_acc, n_seen
+            rng, aug_rng, drop_rng = jax.random.split(rng, 3)
+            if seg:
+                state, loss = train_step(state, images, targets, drop_rng,
+                                         aug_rng)
+            else:
+                state, loss, corr = train_step(state, images, targets,
+                                               drop_rng, aug_rng)
+                corr_acc = corr_acc + corr
+            loss_acc = loss_acc + loss * images.shape[0]
+            n_seen += images.shape[0]
+
         if use_scan:
             # scan-epoch path: K steps per dispatched program over the HBM
             # dataset cache; batch order and RNG stream are EXACTLY the
             # per-step loop's (loader.epoch_index_batches consumes the same
-            # shuffle, the key splits below are the same sequence).
+            # shuffle, the key splits are the same sequence).
             idx_full, idx_tail = train_loader.epoch_index_batches()
             images_d, target_d = train_loader._cached()
             bs = train_loader.batch_size
@@ -329,31 +347,12 @@ def train_model(
                 loss_acc = loss_acc + losses_k.sum() * bs
                 n_seen += chunk.shape[0] * bs
             if idx_tail is not None:
-                rng, aug_rng, drop_rng = jax.random.split(rng, 3)
                 idx_d = jax.device_put(idx_tail)
-                images = train_loader._gather(images_d, idx_d)
-                targets = train_loader._gather(target_d, idx_d)
-                if seg:
-                    state, loss = train_step(state, images, targets,
-                                             drop_rng, aug_rng)
-                else:
-                    state, loss, corr = train_step(state, images, targets,
-                                                   drop_rng, aug_rng)
-                    corr_acc = corr_acc + corr
-                loss_acc = loss_acc + loss * len(idx_tail)
-                n_seen += len(idx_tail)
+                dispatch_one_step(train_loader._gather(images_d, idx_d),
+                                  train_loader._gather(target_d, idx_d))
         else:
             for images, targets in train_loader:
-                rng, aug_rng, drop_rng = jax.random.split(rng, 3)
-                if seg:
-                    state, loss = train_step(state, images, targets, drop_rng,
-                                             aug_rng)
-                else:
-                    state, loss, corr = train_step(state, images, targets,
-                                                   drop_rng, aug_rng)
-                    corr_acc = corr_acc + corr
-                loss_acc = loss_acc + loss * images.shape[0]
-                n_seen += images.shape[0]
+                dispatch_one_step(images, targets)
         running_loss = float(loss_acc)
         correct = int(corr_acc)
 

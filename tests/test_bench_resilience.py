@@ -232,36 +232,51 @@ def test_cli_bench_skips_eager_backend_init(monkeypatch):
 
 def test_watchdog_emits_partial_json_and_disarms(monkeypatch, capsys):
     """If a section hangs in the relay RPC, the watchdog must print a
-    parseable headline JSON from the partial results; a normal finish
-    disarms it."""
+    parseable headline JSON from the partial results (incl. the r4
+    dispatched-continuity numbers); a normal finish disarms it."""
     import os
 
     exited = {}
     monkeypatch.setattr(os, "_exit", lambda rc: exited.setdefault("rc", rc))
-
-    fired = {}
-
-    class _FakeTimer:
-        def __init__(self, delay, fn):
-            fired["fn"] = fn
-            self.daemon = None
-
-        def start(self):
-            pass
-
-    import threading
-    monkeypatch.setattr(threading, "Timer", _FakeTimer)
+    monkeypatch.setattr(bench, "DISPATCHED", {"e2e": 99.0})
 
     bench.PARTIAL["infer"] = 111.0
     bench.PARTIAL["train"] = 55.0
     done = bench._arm_watchdog(100.0)
-    fired["fn"]()  # simulate the timer firing mid-hang
+    done.fire("simulated hang")  # what the watch thread calls on stall
     out = capsys.readouterr().out.strip().splitlines()[-1]
     data = json.loads(out)
     assert data["value"] == 111.0 and data["train"] == 55.0
+    assert data["dispatched"] == {"e2e": 99.0}
     assert "watchdog" in data["errors"] and exited["rc"] == 1
 
     # disarmed: firing after done.set() prints nothing
     done.set()
-    fired["fn"]()
+    done.fire("late")
     assert capsys.readouterr().out == ""
+
+
+def test_watchdog_is_progress_aware(monkeypatch):
+    """Past the budget the watchdog holds fire while heartbeats arrive
+    (healthy cold-cache runs keep compiling) and trips only after 900s of
+    silence — or unconditionally at the absolute hard cap."""
+    import time as _time
+
+    t0 = _time.monotonic()
+    done = bench._arm_watchdog(100.0)  # hard cap = max(200, 3700) = 3700
+    try:
+        # inside budget+grace: never fires, stalled or not
+        bench.LAST_PROGRESS[0] = t0 - 5000.0
+        assert done.check(t0 + 600.0) is None
+        # past budget+grace but recent heartbeat: keep waiting
+        bench._mark_progress()
+        assert done.check(t0 + 800.0) is None
+        # past budget+grace and stalled >900s: fire
+        bench.LAST_PROGRESS[0] = t0 - 200.0
+        assert "no progress" in done.check(t0 + 800.0)
+        # absolute hard cap: fires even with a fresh heartbeat
+        bench._mark_progress()
+        assert "hard cap" in done.check(t0 + 3701.0)
+    finally:
+        done.set()
+        bench._mark_progress()

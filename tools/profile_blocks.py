@@ -239,7 +239,12 @@ def main():
             0, 256, (be, size, size, 3), dtype=_np.uint8))
         msk_e = jnp.asarray((_np.random.default_rng(1).random(
             (be, size, size)) > 0.5).astype(_np.uint8) * 255)
-        img_t, msk_t = img_e[:bt], msk_e[:bt]
+        # independent tensors sized bt: slicing img_e[:bt] would silently
+        # clamp to be rows when UPT_TRAIN_B > UPT_E2E_B and inflate img/s
+        img_t = jnp.asarray(_np.random.default_rng(2).integers(
+            0, 256, (bt, size, size, 3), dtype=_np.uint8))
+        msk_t = jnp.asarray((_np.random.default_rng(3).random(
+            (bt, size, size)) > 0.5).astype(_np.uint8) * 255)
 
         for label, kw in [("plain", dict()), ("asdot", dict(up_as_dot=True))]:
             model = get_model("ResNetUnet")["factory"](
