@@ -64,10 +64,16 @@ CACHE_DIR = None
 CACHE_MISSES = []
 DEADLINE = None  # absolute time.monotonic() cutoff, set in main()
 
-# transport/relay failure markers shared with train.trainer (imported lazily
-# in _is_transient so a broken package import cannot kill the bench header)
-_FALLBACK_MARKERS = ("remote_compile", "response body closed", "UNAVAILABLE",
-                     "DEADLINE_EXCEEDED", "Connection reset", "Socket closed")
+# transport/relay failure markers: the shared classifier's list when the
+# package imports (the normal case — no drift possible), a frozen literal
+# only if the package itself is broken (the bench header + watchdog can
+# still emit a partial artifact then)
+try:
+    from medseg_tpu.core.errors import TRANSIENT_MARKERS as _FALLBACK_MARKERS
+except Exception:
+    _FALLBACK_MARKERS = ("remote_compile", "response body closed",
+                         "UNAVAILABLE", "DEADLINE_EXCEEDED",
+                         "Connection reset", "Socket closed")
 
 
 def _is_transient(e: BaseException) -> bool:
@@ -242,11 +248,16 @@ def bench_inference(small: bool):
     # scan-epoch variant (the r4 headline): K aug+infer steps inside ONE
     # dispatched program over an HBM-resident image set — the shipped
     # `--scan-chunk` epoch shape, with zero per-step dispatch/fetch overhead
-    # (PERF.md "relay dispatch floor").
-    n_data = batch * 4
+    # (PERF.md "relay dispatch floor").  Its B/K are swept INDEPENDENTLY of
+    # the dispatched loop's (tools/sweep_scan_e2e.py, r4): under the scan
+    # driver smaller batches win — B=128 K=240 measured 17.95k img/s vs
+    # 16.3k at the dispatched loop's B=384 (B∈{96,192} tile badly, B=64
+    # starves; rate confirmed unchanged on a 24x-larger HBM image set).
+    scan_b, scan_k = (batch, steps) if small else (128, 240)
+    n_data = scan_b * 4
     data = jax.device_put(np.random.default_rng(2).integers(
         0, 256, (n_data, size, size, 3), dtype=np.uint8))
-    idx = _epoch_idx(n_data, batch, steps)
+    idx = _epoch_idx(n_data, scan_b, scan_k)
 
     @jax.jit
     def scan_prog(variables, data, idx, key):
@@ -266,7 +277,7 @@ def bench_inference(small: bool):
             one, (key, jnp.zeros((), jnp.float32)), idx)
         return acc
 
-    scan_c = _aot("infer_scan_aug+resnet18_B%dxK%d" % (batch, steps),
+    scan_c = _aot("infer_scan_aug+resnet18_B%dxK%d" % (scan_b, scan_k),
                   scan_prog, variables, data, idx, jax.random.key(0))
 
     def wall_scan(seed):
@@ -276,7 +287,7 @@ def bench_inference(small: bool):
 
     wall_scan(0)  # warmup window
     best_s = min(wall_scan(100 + r) for r in range(3))
-    return batch * steps / best_s
+    return scan_b * scan_k / best_s
 
 
 def _epoch_idx(n_data: int, batch: int, steps: int) -> jnp.ndarray:
@@ -364,14 +375,18 @@ def bench_training(small: bool):
     # tests/test_scan_epoch.py).
     body = S.cls_train_body(model, optimizer, 0.1, prep=prep)
     drive = S.scan_epoch(body)
-    n_data = batch * 4
+    # scan B/K swept independently of the dispatched loop's
+    # (tools/sweep_scan_train.py, r4): B=128 K=180 measured 5,929 img/s vs
+    # 5,537 at B=256 K=20 same-session (+7%); B=96/192 tile badly (4.9k)
+    scan_b, scan_k = (batch, steps) if small else (128, 180)
+    n_data = scan_b * 4
     data = jax.device_put(np.random.default_rng(2).integers(
         0, 256, (n_data, size, size, 3), dtype=np.uint8))
     lab = jax.device_put(np.random.default_rng(3).integers(
         0, 3, (n_data,), dtype=np.int32))
-    idx = _epoch_idx(n_data, batch, steps)
+    idx = _epoch_idx(n_data, scan_b, scan_k)
     state_s = S.init_state(model, variables, optimizer)
-    drive_c = _aot("train_scan_resnet18_B%dxK%d" % (batch, steps), drive,
+    drive_c = _aot("train_scan_resnet18_B%dxK%d" % (scan_b, scan_k), drive,
                    state_s, data, lab, idx, jax.random.key(0))
 
     def run_scan(seed, state_s):
@@ -386,7 +401,7 @@ def bench_training(small: bool):
     for r in range(3):
         t, state_s = run_scan(100 + r, state_s)
         best_s = min(best_s, t)
-    return batch * steps / best_s
+    return scan_b * scan_k / best_s
 
 
 # batch sizes from the r2 sweep (PERF.md): every model gains 5-20% from the
@@ -450,17 +465,21 @@ def bench_training_seg(small: bool):
         best = min(best, t)
     DISPATCHED["seg_train"] = round(batch * steps / best, 1)
 
-    # scan-epoch variant (headline) — see bench_training
+    # scan-epoch variant (headline) — see bench_training.  Scan B/K from
+    # the r4 sweep (tools/sweep_scan_seg.py): B=16 K=64 = 206.6 img/s
+    # (B=8: 200.6, B=32 K=32: 206.3) — the 5 s window amortizes the relay
+    # fetch that K=16's 1.3 s window still paid.
+    scan_b, scan_k = (batch, steps) if small else (16, 64)
     body = S.seg_train_body(model, optimizer, prep=prep)
     drive = S.scan_epoch(body)
-    n_data = batch * 4
+    n_data = scan_b * 4
     data = jax.device_put(np.random.default_rng(2).integers(
         0, 256, (n_data, size, size, 3), dtype=np.uint8))
     msk = jax.device_put((np.random.default_rng(3).random(
         (n_data, size, size)) > 0.5).astype(np.uint8) * 255)
-    idx = _epoch_idx(n_data, batch, steps)
+    idx = _epoch_idx(n_data, scan_b, scan_k)
     state_s = S.init_state(model, variables, optimizer)
-    drive_c = _aot("seg_train_scan_attunet_B%dxK%d" % (batch, steps), drive,
+    drive_c = _aot("seg_train_scan_attunet_B%dxK%d" % (scan_b, scan_k), drive,
                    state_s, data, msk, idx, jax.random.key(0))
 
     def run_scan(seed, state_s):
@@ -475,7 +494,7 @@ def bench_training_seg(small: bool):
     for r in range(3):
         t, state_s = run_scan(100 + r, state_s)
         best_s = min(best_s, t)
-    return batch * steps / best_s
+    return scan_b * scan_k / best_s
 
 
 def bench_seg_e2e(small: bool):
@@ -523,13 +542,17 @@ def bench_seg_e2e(small: bool):
     best = min(wall(steps, key0=100 + 50 * r) for r in range(3))
     DISPATCHED["seg_e2e"] = round(batch * steps / best, 1)
 
-    # scan-epoch variant (headline) — see bench_inference
-    n_data = batch * 4
+    # scan-epoch variant (headline) — see bench_inference.  Scan B/K from
+    # the r4 sweep (tools/sweep_scan_seg.py): B=128 confirmed best
+    # (B=256: 1,672; B=64: 1,530; B=32: 1,246), K=40 captures the window
+    # asymptote (1,747 vs 1,753 at K=80) at half the bench wall time.
+    scan_b, scan_k = (batch, steps) if small else (128, 40)
+    n_data = scan_b * 4
     data = jax.device_put(np.random.default_rng(2).integers(
         0, 256, (n_data, size, size, 3), dtype=np.uint8))
     msk_all = jax.device_put((np.random.default_rng(3).random(
         (n_data, size, size)) > 0.5).astype(np.uint8) * 255)
-    idx = _epoch_idx(n_data, batch, steps)
+    idx = _epoch_idx(n_data, scan_b, scan_k)
 
     @jax.jit
     def scan_prog(variables, data, msk_all, idx, key):
@@ -550,7 +573,7 @@ def bench_seg_e2e(small: bool):
             one, (key, jnp.zeros((), jnp.float32)), idx)
         return acc
 
-    scan_c = _aot("seg_e2e_scan_aug+resnetunet_B%dxK%d" % (batch, steps),
+    scan_c = _aot("seg_e2e_scan_aug+resnetunet_B%dxK%d" % (scan_b, scan_k),
                   scan_prog, variables, data, msk_all, idx, jax.random.key(0))
 
     def wall_scan(seed):
@@ -560,7 +583,7 @@ def bench_seg_e2e(small: bool):
 
     wall_scan(0)  # warmup window
     best_s = min(wall_scan(100 + r) for r in range(3))
-    return batch * steps / best_s
+    return scan_b * scan_k / best_s
 
 
 ZOO = (("ResNet18", 384, 256), ("ResNet50", 384, 256), ("VGG16", 256, 256),
@@ -655,8 +678,13 @@ def _arm_watchdog(budget_s: float):
     with NO heartbeat (_mark_progress — every compile and section bump it),
     so a healthy-but-slow cold-cache run (the headline sections now stage
     ~9 programs) keeps going as long as it demonstrably advances; a true
-    in-RPC hang is caught within ~15 min of the budget.  An absolute cap at
-    max(2x budget, budget+3600s) bounds the worst case regardless.
+    in-RPC hang is caught within ~15 min of the budget.  The hard cap at
+    max(2x budget, budget+3600s) is ALSO stall-gated (300s): killing a jax
+    process mid-TPU-flight wedges the device claim ~10 min (CLAUDE.md), so
+    a run is only ever killed when it has stopped advancing — heartbeats
+    are finite (one per compile/section, ~25 max), so stall-gated firing
+    still terminates.  An unconditional extreme cap 2h past the hard cap
+    backstops unknown-unknowns.
     Disarmed by main() printing first (the flag flip)."""
     import threading
 
@@ -667,8 +695,11 @@ def _arm_watchdog(budget_s: float):
     def check(now):
         """Reason to fire at time `now`, or None to keep waiting."""
         stalled = now - LAST_PROGRESS[0]
-        if now - t0 > hard_cap:
-            return f"hard cap exceeded ({hard_cap:.0f}s)"
+        if now - t0 > hard_cap + 7200.0:
+            return f"extreme cap exceeded ({hard_cap + 7200.0:.0f}s)"
+        if now - t0 > hard_cap and stalled > 300.0:
+            return (f"hard cap exceeded ({hard_cap:.0f}s) and no progress "
+                    f"for {stalled:.0f}s")
         if now - t0 > budget_s + 600.0 and stalled > 900.0:
             return (f"wall budget + grace exceeded ({budget_s:.0f}s+600s) "
                     f"with no progress for {stalled:.0f}s; a section hung")

@@ -338,7 +338,13 @@ def train_model(
             idx_full, idx_tail = train_loader.epoch_index_batches()
             images_d, target_d = train_loader._cached()
             bs = train_loader.batch_size
-            for s in range(0, len(idx_full), scan_chunk):
+            # only whole [scan_chunk, B] chunks ride the scan program: a
+            # final short chunk would stage a SECOND, differently-shaped
+            # scan program through the relay (2-8 min first execution);
+            # the <scan_chunk remainder steps ride the per-step program
+            # below instead (same RNG split sequence, equality-tested)
+            n_scan = (len(idx_full) // scan_chunk) * scan_chunk
+            for s in range(0, n_scan, scan_chunk):
                 chunk = jnp.asarray(idx_full[s:s + scan_chunk])
                 outs = scan_drive(state, images_d, target_d, chunk, rng)
                 state, rng, losses_k = outs[0], outs[1], outs[2]
@@ -346,6 +352,10 @@ def train_model(
                     corr_acc = corr_acc + outs[3].sum()
                 loss_acc = loss_acc + losses_k.sum() * bs
                 n_seen += chunk.shape[0] * bs
+            for row in idx_full[n_scan:]:
+                idx_d = jax.device_put(row)
+                dispatch_one_step(train_loader._gather(images_d, idx_d),
+                                  train_loader._gather(target_d, idx_d))
             if idx_tail is not None:
                 idx_d = jax.device_put(idx_tail)
                 dispatch_one_step(train_loader._gather(images_d, idx_d),

@@ -274,9 +274,16 @@ def test_watchdog_is_progress_aware(monkeypatch):
         # past budget+grace and stalled >900s: fire
         bench.LAST_PROGRESS[0] = t0 - 200.0
         assert "no progress" in done.check(t0 + 800.0)
-        # absolute hard cap: fires even with a fresh heartbeat
-        bench._mark_progress()
+        # hard cap is ALSO stall-gated (never kill an advancing run
+        # mid-TPU-flight: the claim-wedge rule), 300s threshold
+        bench.LAST_PROGRESS[0] = t0 + 3600.0  # heartbeat 101s before check
+        assert done.check(t0 + 3701.0) is None
+        bench.LAST_PROGRESS[0] = t0 + 3300.0  # stalled 401s at t0+3701
         assert "hard cap" in done.check(t0 + 3701.0)
+        # unconditional extreme cap 2h past the hard cap: fires even with
+        # a fresh heartbeat
+        bench.LAST_PROGRESS[0] = t0 + 3700.0 + 7200.0
+        assert "extreme cap" in done.check(t0 + 3700.0 + 7201.0)
     finally:
         done.set()
         bench._mark_progress()

@@ -199,6 +199,11 @@ def test_train_model_scan_chunk_equivalent(tmp_path, seg):
 
     res_a, log_a = run()
     res_b, log_b = run(scan_chunk=2)
+    # scan_chunk=3 over 4 full batches: one [3,B] scan chunk, then ONE
+    # remainder full batch that must ride the per-step program (the
+    # trainer never stages a second short scan program), then the ragged
+    # tail — pins the remainder-routing path to the same stream
+    res_c, log_c = run(scan_chunk=3)
     # The per-epoch loss lines are the wiring pin: any batch-order or RNG
     # mismatch shifts TrainLoss/ValLoss in the 3rd decimal immediately,
     # while scan-vs-loop float rounding sits at ~1e-6.  Exact param equality
@@ -209,9 +214,11 @@ def test_train_model_scan_chunk_equivalent(tmp_path, seg):
     # near-zero logits across the 0.5 threshold.
     import re
 
-    assert len(log_a) == len(log_b) and len(log_a) == cfg.epochs
-    for la, lb in zip(log_a, log_b):
+    assert len(log_a) == len(log_b) == len(log_c) == cfg.epochs
+    for la, lb, lc in zip(log_a, log_b, log_c):
         for key in ("TrainLoss", "ValLoss"):
             va = float(re.search(key + r" (-?\d+\.\d+)", la).group(1))
             vb = float(re.search(key + r" (-?\d+\.\d+)", lb).group(1))
+            vc = float(re.search(key + r" (-?\d+\.\d+)", lc).group(1))
             assert va == pytest.approx(vb, abs=5e-3), f"{la!r} vs {lb!r}"
+            assert va == pytest.approx(vc, abs=5e-3), f"{la!r} vs {lc!r}"

@@ -125,7 +125,10 @@ def main():
     if "gate" in exps:
         g = rand(b, 256, 256, 64)
         x = rand(b, 256, 256, 64)
-        fused = AttentionGate(32, dtype=dt)
+        # fused_stats must be explicit: the r4 hardware A/B flipped the
+        # class default to False, so relying on the default here would
+        # silently time the plain lowering twice
+        fused = AttentionGate(32, dtype=dt, fused_stats=True)
         plain = AttentionGate(32, dtype=dt, fused_stats=False)
         v = plain.init(jax.random.key(0), g, x)
         print("== att2: AttentionGate(32) g,x [B,256,256,64] ==", flush=True)
