@@ -50,17 +50,32 @@ class BatchLoader:
                              and nbytes <= device_cache_budget)
 
     def _cached(self):
+        # under a mesh (self.sharding set, possibly AFTER construction by
+        # train_model's shallow copy) the cache is REPLICATED across the
+        # mesh so the scan-epoch driver's in-program gathers are local;
+        # re-put if the sharding changed since a previous cache build
+        want = None
+        if self.sharding is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            want = NamedSharding(self.sharding.mesh, PartitionSpec())
+        if self._dev is not None and getattr(self, "_dev_sharding", None) != want:
+            self._dev = None
         if self._dev is None:
             import jax.numpy as jnp
 
-            images = jax.device_put(np.ascontiguousarray(self.ds.images))
-            if self.ds.masks is not None:
-                target = jax.device_put(np.ascontiguousarray(self.ds.masks))
-            else:
-                target = jax.device_put(np.ascontiguousarray(self.ds.labels))
+            def put(arr):
+                arr = np.ascontiguousarray(arr)
+                return (jax.device_put(arr, want) if want is not None
+                        else jax.device_put(arr))
+
+            images = put(self.ds.images)
+            target = put(self.ds.masks if self.ds.masks is not None
+                         else self.ds.labels)
             self._gather = jax.jit(
                 lambda arr, idx: jnp.take(arr, idx, axis=0, unique_indices=True))
             self._dev = (images, target)
+            self._dev_sharding = want
         return self._dev
 
     def __len__(self):

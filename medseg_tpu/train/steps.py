@@ -149,7 +149,8 @@ def make_seg_train_step(model, optimizer, loss_name: str = "bce", prep=None):
                    donate_argnums=(0,))
 
 
-def scan_epoch(body, donate_carry: bool = True, split_rng: bool = True):
+def scan_epoch(body, donate_carry: bool = True, split_rng: bool = True,
+               data_sharding=None):
     """Multi-step driver: run K steps of `body` inside ONE dispatched program
     via lax.scan over an HBM-resident dataset.
 
@@ -182,11 +183,22 @@ def scan_epoch(body, donate_carry: bool = True, split_rng: bool = True):
     images_all/targets_all are the full device-cached arrays and idx is
     [K, B] int32 (rows sorted, as BatchLoader yields).  Each scanned step
     gathers its batch on device — the same jnp.take the cached loader path
-    performs, ~1% of a train step at 256px."""
+    performs, ~1% of a train step at 256px.
+
+    data_sharding: optional `NamedSharding` over the data axis — the
+    scan-epoch x data-parallel composition.  The dataset cache is
+    REPLICATED across the mesh (BatchLoader._cached) so each step's gather
+    is local; the constraint then reshards the gathered batch across the
+    mesh (a local slice, no collective) and the body's forward/backward run
+    SPMD exactly like the per-step mesh path — XLA inserts the gradient
+    psum because params are replicated and the batch is sharded."""
 
     def _batch(arr, i):
-        return jnp.take(arr, i, axis=0, unique_indices=True,
-                        indices_are_sorted=True)
+        x = jnp.take(arr, i, axis=0, unique_indices=True,
+                     indices_are_sorted=True)
+        if data_sharding is not None:
+            x = jax.lax.with_sharding_constraint(x, data_sharding)
+        return x
 
     if split_rng:
         def drive(carry, images_all, targets_all, idx, rng):

@@ -145,9 +145,12 @@ def train_model(
     scan_chunk: run K train steps per dispatched program via lax.scan over
     the HBM-resident dataset cache (steps.scan_epoch) — removes the relay's
     per-dispatch floor and the host's per-step Python work from the epoch.
-    Requires train_loader.device_cache and no mesh (falls back to the
-    per-step loop with a log line otherwise).  Math, RNG stream, and epoch
-    statistics are EXACTLY the per-step loop's (tests/test_scan_epoch.py).
+    Requires train_loader.device_cache (falls back to the per-step loop
+    with a log line otherwise).  Composes with mesh: the dataset cache
+    replicates across the mesh and each scanned step reshards its batch
+    over the data axis, so the scanned epoch is the same SPMD program the
+    per-step mesh path runs (tests/test_scan_epoch.py pins both).  Math,
+    RNG stream, and epoch statistics are EXACTLY the per-step loop's.
     """
     entry = get_model(name)
     if entry.get("needs_text_features"):
@@ -211,16 +214,19 @@ def train_model(
     resume_at_stage_boundary = in_stage2 and saved_stage == 1
 
     # --- optimizer / stage setup ------------------------------------------
-    use_scan = scan_chunk > 1 and mesh is None and train_loader.device_cache
+    use_scan = scan_chunk > 1 and train_loader.device_cache
     if scan_chunk > 1 and not use_scan:
-        log(f"[scan_chunk] disabled: requires device_cache and no mesh "
-            f"(device_cache={train_loader.device_cache}, mesh={mesh is not None})")
+        log(f"[scan_chunk] disabled: requires device_cache "
+            f"(device_cache={train_loader.device_cache})")
 
     def _scan_driver(optimizer):
         body = (S.seg_train_body(model, optimizer, prep=train_prep) if seg
                 else S.cls_train_body(model, optimizer, cfg.label_smoothing,
                                       prep=train_prep))
-        return S.scan_epoch(body)
+        # scan x data-parallel: replicated dataset cache, per-step batch
+        # resharded across the mesh inside the program (steps.scan_epoch)
+        sharding = train_loader.sharding if mesh is not None else None
+        return S.scan_epoch(body, data_sharding=sharding)
 
     if seg:
         mask = mask_from_predicate(variables["params"], finetune_filter(name))
@@ -354,8 +360,15 @@ def train_model(
                 n_seen += chunk.shape[0] * bs
             for row in idx_full[n_scan:]:
                 idx_d = jax.device_put(row)
-                dispatch_one_step(train_loader._gather(images_d, idx_d),
-                                  train_loader._gather(target_d, idx_d))
+                images = train_loader._gather(images_d, idx_d)
+                targets = train_loader._gather(target_d, idx_d)
+                if mesh is not None:
+                    # the cache (and so the gather) is replicated over the
+                    # mesh; reshard to the per-step path's batch sharding (a
+                    # local slice) so the same SPMD step program serves both
+                    images = jax.device_put(images, train_loader.sharding)
+                    targets = jax.device_put(targets, train_loader.sharding)
+                dispatch_one_step(images, targets)
             if idx_tail is not None:
                 idx_d = jax.device_put(idx_tail)
                 dispatch_one_step(train_loader._gather(images_d, idx_d),

@@ -222,3 +222,55 @@ def test_train_model_scan_chunk_equivalent(tmp_path, seg):
             vc = float(re.search(key + r" (-?\d+\.\d+)", lc).group(1))
             assert va == pytest.approx(vb, abs=5e-3), f"{la!r} vs {lb!r}"
             assert va == pytest.approx(vc, abs=5e-3), f"{la!r} vs {lc!r}"
+
+
+@pytest.mark.parametrize("seg", [False, True])
+def test_train_model_scan_chunk_under_mesh(tmp_path, seg):
+    """scan_chunk x data-parallel: train_model(scan_chunk=2, mesh=8dev) ==
+    train_model(mesh=8dev) per-step — the scanned epoch is the same SPMD
+    program (replicated dataset cache, per-step batch reshard, XLA grad
+    psum), so per-epoch losses must agree like the single-device pin.
+    B=8 over 24 train samples = 3 full batches -> one [2,B] scan chunk +
+    one remainder batch through the per-step program (resharded)."""
+    import re
+
+    from medseg_tpu.core.config import AugmentConfig, TrainConfig
+    from medseg_tpu.data.loader import BatchLoader
+    from medseg_tpu.data.packed import PackedDataset
+    from medseg_tpu.parallel import data_parallel_mesh
+    from medseg_tpu.train.trainer import train_model
+
+    mesh = data_parallel_mesh()
+    rng = np.random.default_rng(2)
+    n, size = 32, 32
+    images = rng.integers(0, 256, (n, size, size, 3), dtype=np.uint8)
+    if seg:
+        masks = (rng.random((n, size, size)) > 0.5).astype(np.uint8) * 255
+        ds = PackedDataset(images=images, labels=None, masks=masks)
+        name = "AttentionUNet"
+    else:
+        labels = rng.integers(0, 3, (n,), dtype=np.int64)
+        ds = PackedDataset(images=images, labels=labels, masks=None)
+        name = "ResNet18"
+
+    cfg = TrainConfig(epochs=2, stage1_epochs=1, lr=1e-4, stage1_lr=1e-3,
+                      compute_dtype="float32", save_root=str(tmp_path / "w"))
+    aug = AugmentConfig()
+
+    def run(**kw):
+        tr = BatchLoader(ds, 8, shuffle=True, seed=5, device_cache=True,
+                         indices=np.arange(24))
+        va = BatchLoader(ds, 8, shuffle=False, indices=np.arange(24, 32))
+        lines = []
+        train_model(name, tr, va, cfg, aug, seed=11, save=False,
+                    log=lines.append, mesh=mesh, **kw)
+        return [ln for ln in lines if "TrainLoss" in ln]
+
+    log_a = run()
+    log_b = run(scan_chunk=2)
+    assert len(log_a) == len(log_b) == cfg.epochs
+    for la, lb in zip(log_a, log_b):
+        for key in ("TrainLoss", "ValLoss"):
+            va = float(re.search(key + r" (-?\d+\.\d+)", la).group(1))
+            vb = float(re.search(key + r" (-?\d+\.\d+)", lb).group(1))
+            assert va == pytest.approx(vb, abs=5e-3), f"{la!r} vs {lb!r}"
