@@ -99,9 +99,13 @@ def _cmd_train(args):
         bs = args.batch_size or (cfg.seg_batch_size if seg else cfg.cls_batch_size)
         print(f"\n--- Training {task} model: {name} ---")
         # single-chip: keep the whole packed split HBM-resident (no per-step
-        # H2D); mesh training keeps the host loader for sharded placement
+        # H2D); mesh training keeps the host loader for sharded placement —
+        # EXCEPT under --scan-chunk, whose driver needs the cache (it is
+        # replicated across the mesh and each scanned step reshards its
+        # gathered batch; train/steps.scan_epoch)
         train, val = _loaders(args.cache_dir, "seg" if seg else "cls", bs,
-                              cfg.val_fraction, device_cache=mesh is None)
+                              cfg.val_fraction,
+                              device_cache=mesh is None or args.scan_chunk > 1)
         with trace_context(args.profile):
             res = train_model_resilient(name, train, val, cfg, mesh=mesh,
                                         resume=args.resume,
@@ -220,9 +224,10 @@ def _cmd_finetune_clip(args):
 
     cfg = CLIPFinetuneConfig(save_root=args.weights_root)
     variables, text_features = load_clip_classifier_pretrained()
-    train, val = _loaders(args.cache_dir, "cls", cfg.batch_size, 0.1111)
+    train, val = _loaders(args.cache_dir, "cls", cfg.batch_size, 0.1111,
+                          device_cache=args.scan_chunk > 1)
     finetune_clip(train, val, variables, text_features, cfg,
-                  mesh=_mesh_if(args))
+                  mesh=_mesh_if(args), scan_chunk=args.scan_chunk)
 
 
 def _cmd_finetune_clipseg(args):
@@ -232,8 +237,10 @@ def _cmd_finetune_clipseg(args):
 
     cfg = CLIPSegFinetuneConfig(save_root=args.weights_root)
     variables, cond = load_clipseg_pretrained()
-    train, val = _loaders(args.cache_dir, "seg", cfg.batch_size, 0.1111)
-    finetune_clipseg(train, val, variables, cond, cfg, mesh=_mesh_if(args))
+    train, val = _loaders(args.cache_dir, "seg", cfg.batch_size, 0.1111,
+                          device_cache=args.scan_chunk > 1)
+    finetune_clipseg(train, val, variables, cond, cfg, mesh=_mesh_if(args),
+                     scan_chunk=args.scan_chunk)
 
 
 def _cmd_demo(args):
@@ -360,7 +367,7 @@ def main(argv=None):
                     help="run K train steps per dispatched program "
                          "(lax.scan over the HBM dataset cache; exact same "
                          "math/RNG stream — removes the relay's per-dispatch "
-                         "floor; single-device only)")
+                         "floor; composes with --data-parallel)")
     sp.add_argument("--profile", default=None,
                     help="jax.profiler trace directory (TensorBoard-loadable)")
     sp = add("eval", _cmd_eval)
@@ -379,9 +386,17 @@ def main(argv=None):
     sp = add("finetune-clip", _cmd_finetune_clip)
     sp.add_argument("--data-parallel", action="store_true",
                     help="shard batches over all devices (Mesh('data'))")
+    sp.add_argument("--scan-chunk", type=int, default=0,
+                    help="run K finetune steps per dispatched program "
+                         "(lax.scan over the HBM dataset cache; the step is "
+                         "rng-free so the scanned epoch is exact)")
     sp = add("finetune-clipseg", _cmd_finetune_clipseg)
     sp.add_argument("--data-parallel", action="store_true",
                     help="shard batches over all devices (Mesh('data'))")
+    sp.add_argument("--scan-chunk", type=int, default=0,
+                    help="run K finetune steps per dispatched program "
+                         "(lax.scan over the HBM dataset cache; the step is "
+                         "rng-free so the scanned epoch is exact)")
     sp = add("demo", _cmd_demo)
     sp.add_argument("--share", action="store_true")
     sp.add_argument("--builtin", action="store_true",

@@ -45,6 +45,7 @@ def finetune_clip(
     mesh=None,
     model=None,
     image_size: int = CLIP_IMG_SIZE,
+    scan_chunk: int = 0,
     log: Callable[[str], None] = print,
 ) -> float:
     """variables: CLIPClassifier variables (e.g. converted HF weights);
@@ -52,7 +53,13 @@ def finetune_clip(
     model/image_size are injectable for tests with tiny towers.
     mesh: optional `jax.sharding.Mesh` — batches shard over its 'data' axis,
     params/opt-state/text-features replicate, and XLA inserts the gradient
-    all-reduce (same SPMD design as train/trainer.py, SURVEY.md §2.4)."""
+    all-reduce (same SPMD design as train/trainer.py, SURVEY.md §2.4).
+    scan_chunk: run K train steps per dispatched program via lax.scan over
+    the HBM-resident dataset cache (steps.scan_epoch / scan_epoch_driver) —
+    the same dispatch-amortizing driver train_model has; requires a
+    device_cache loader.  The finetune step is rng-free (deterministic
+    clip_preprocess, no dropout), so the scanned epoch is bit-for-bit the
+    per-step epoch re-chunked (tests/test_scan_epoch.py pins it)."""
     if model is None:
         model = get_model("CLIP")["factory"]()
     tf = jnp.asarray(text_features, jnp.float32)
@@ -85,8 +92,7 @@ def finetune_clip(
         params, opt_state, tf = jax.device_put((params, opt_state, tf),
                                                replicated(mesh))
 
-    @jax.jit
-    def train_step(params, opt_state, images_u8, labels):
+    def _step(params, opt_state, images_u8, labels):
         def loss_fn(p):
             x = clip_preprocess(images_u8, image_size)
             logits = model.apply({"params": p}, x, tf)
@@ -97,6 +103,21 @@ def finetune_clip(
         params2 = optax.apply_updates(params, updates)
         correct = (jnp.argmax(logits, -1) == labels).sum()
         return params2, opt_state2, loss, correct
+
+    train_step = jax.jit(_step)
+
+    use_scan = scan_chunk > 1 and train_loader.device_cache
+    if scan_chunk > 1 and not use_scan:
+        log(f"[scan_chunk] disabled: requires device_cache "
+            f"(device_cache={train_loader.device_cache})")
+    if use_scan:
+        def _scan_body(carry, images_u8, labels):
+            p, o, loss, corr = _step(*carry, images_u8, labels)
+            return (p, o), loss, corr
+
+        scan_drive = S.scan_epoch(
+            _scan_body, split_rng=False,
+            data_sharding=train_loader.sharding if mesh is not None else None)
 
     @jax.jit
     def eval_step(params, images_u8, labels, n_valid):
@@ -120,12 +141,35 @@ def finetune_clip(
         loss_acc = jnp.zeros((), jnp.float32)
         corr_acc = jnp.zeros((), jnp.int32)
         total = 0
-        for images, labels in train_loader:
-            params, opt_state, loss, corr = train_step(params, opt_state,
-                                                       images, labels)
-            loss_acc = loss_acc + loss * images.shape[0]
-            corr_acc = corr_acc + corr
-            total += images.shape[0]
+        if use_scan:
+            bs = train_loader.batch_size
+
+            def on_chunk(outs):
+                nonlocal loss_acc, corr_acc, total
+                losses_k, corrs_k = outs
+                loss_acc = loss_acc + losses_k.sum() * bs
+                corr_acc = corr_acc + corrs_k.sum()
+                total += losses_k.shape[0] * bs
+
+            def on_step(carry, images, labels):
+                nonlocal loss_acc, corr_acc, total
+                p, o, loss, corr = train_step(*carry, images, labels)
+                loss_acc = loss_acc + loss * images.shape[0]
+                corr_acc = corr_acc + corr
+                total += images.shape[0]
+                return p, o
+
+            params, opt_state = S.scan_epoch_driver(
+                train_loader, scan_chunk, scan_drive, (params, opt_state),
+                on_chunk, on_step,
+                reshard=train_loader.sharding if mesh is not None else None)
+        else:
+            for images, labels in train_loader:
+                params, opt_state, loss, corr = train_step(params, opt_state,
+                                                           images, labels)
+                loss_acc = loss_acc + loss * images.shape[0]
+                corr_acc = corr_acc + corr
+                total += images.shape[0]
         run_loss, correct = float(loss_acc), int(corr_acc)
 
         vloss_acc = jnp.zeros((), jnp.float32)

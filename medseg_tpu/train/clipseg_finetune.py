@@ -52,6 +52,7 @@ def finetune_clipseg(
     mesh=None,
     model=None,
     image_size: int = CLIPSEG_IMG_SIZE,
+    scan_chunk: int = 0,
     log: Callable[[str], None] = print,
 ) -> float:
     """variables: CLIPSegModel variables; cond: [1, dim] conditional text
@@ -59,7 +60,11 @@ def finetune_clipseg(
     tests with tiny towers.
     mesh: optional `jax.sharding.Mesh` — batches shard over its 'data' axis,
     params/opt-state/cond replicate, and XLA inserts the gradient all-reduce
-    (same SPMD design as train/trainer.py, SURVEY.md §2.4)."""
+    (same SPMD design as train/trainer.py, SURVEY.md §2.4).
+    scan_chunk: run K decoder-train steps per dispatched program over the
+    HBM dataset cache (steps.scan_epoch / scan_epoch_driver) — the step is
+    rng-free, so the scanned epoch is the per-step epoch re-chunked
+    (tests/test_scan_epoch.py)."""
     if model is None:
         model = get_model("CLIPSeg")["factory"]()
     cond = jnp.asarray(cond, jnp.float32)
@@ -93,14 +98,20 @@ def finetune_clipseg(
         params, opt_state, cond = jax.device_put((params, opt_state, cond),
                                                  replicated(mesh))
 
+    # logit-grid shape, computed ONCE and abstractly: inside the traced step
+    # a dummy model.apply would bake the closure-captured params into every
+    # program as constants (the r2 413-transport lesson) and leave XLA to
+    # fold a dead forward; eval_shape costs zero FLOPs and no baking.
+    out_hw = jax.eval_shape(
+        lambda p, x, c: model.apply({"params": p}, x, cond=c),
+        variables["params"],
+        jax.ShapeDtypeStruct((1, image_size, image_size, 3), jnp.float32),
+        jax.ShapeDtypeStruct((1, cond.shape[-1]), jnp.float32)).shape[1:]
+
     def prep(images_u8, masks_u8):
         x = clip_preprocess(images_u8, image_size)
         m = masks_u8.astype(jnp.float32)[..., None] / 255.0
         b = m.shape[0]
-        out_hw = model.apply({"params": variables["params"]},
-                             jnp.zeros((1, image_size, image_size, 3),
-                                       jnp.float32),
-                             cond=jnp.zeros((1, cond.shape[-1]))).shape[1:]
         m = jax.image.resize(m, (b, out_hw[0], out_hw[1], 1),
                              method="bilinear")
         return x, m[..., 0]
@@ -112,8 +123,7 @@ def finetune_clipseg(
     # faster (540 vs 398 img/s at B=8/352px) — workaround removed; if a
     # future toolchain regresses, wrap model.apply in jax.checkpoint again.
 
-    @jax.jit
-    def train_step(params, opt_state, images_u8, masks_u8):
+    def _step(params, opt_state, images_u8, masks_u8):
         def loss_fn(p):
             x, m = prep(images_u8, masks_u8)
             c = jnp.broadcast_to(cond, (x.shape[0], cond.shape[-1]))
@@ -123,6 +133,21 @@ def finetune_clipseg(
         loss, grads = jax.value_and_grad(loss_fn)(params)
         updates, opt_state2 = optimizer.update(grads, opt_state, params)
         return optax.apply_updates(params, updates), opt_state2, loss
+
+    train_step = jax.jit(_step)
+
+    use_scan = scan_chunk > 1 and train_loader.device_cache
+    if scan_chunk > 1 and not use_scan:
+        log(f"[scan_chunk] disabled: requires device_cache "
+            f"(device_cache={train_loader.device_cache})")
+    if use_scan:
+        def _scan_body(carry, images_u8, masks_u8):
+            p, o, loss = _step(*carry, images_u8, masks_u8)
+            return (p, o), loss
+
+        scan_drive = S.scan_epoch(
+            _scan_body, split_rng=False,
+            data_sharding=train_loader.sharding if mesh is not None else None)
 
     @jax.jit
     def eval_step(params, images_u8, masks_u8, n_valid):
@@ -144,10 +169,32 @@ def finetune_clipseg(
         # device-side stat accumulation, one fetch per epoch (train/trainer.py)
         loss_acc = jnp.zeros((), jnp.float32)
         total = 0
-        for images, masks in train_loader:
-            params, opt_state, loss = train_step(params, opt_state, images, masks)
-            loss_acc = loss_acc + loss * images.shape[0]
-            total += images.shape[0]
+        if use_scan:
+            bs = train_loader.batch_size
+
+            def on_chunk(outs):
+                nonlocal loss_acc, total
+                (losses_k,) = outs
+                loss_acc = loss_acc + losses_k.sum() * bs
+                total += losses_k.shape[0] * bs
+
+            def on_step(carry, images, masks):
+                nonlocal loss_acc, total
+                p, o, loss = train_step(*carry, images, masks)
+                loss_acc = loss_acc + loss * images.shape[0]
+                total += images.shape[0]
+                return p, o
+
+            params, opt_state = S.scan_epoch_driver(
+                train_loader, scan_chunk, scan_drive, (params, opt_state),
+                on_chunk, on_step,
+                reshard=train_loader.sharding if mesh is not None else None)
+        else:
+            for images, masks in train_loader:
+                params, opt_state, loss = train_step(params, opt_state,
+                                                     images, masks)
+                loss_acc = loss_acc + loss * images.shape[0]
+                total += images.shape[0]
         run_loss = float(loss_acc)
 
         vloss_acc = jnp.zeros((), jnp.float32)

@@ -225,6 +225,50 @@ def scan_epoch(body, donate_carry: bool = True, split_rng: bool = True,
     return jax.jit(drive, donate_argnums=(0,) if donate_carry else ())
 
 
+def scan_epoch_driver(loader, scan_chunk: int, scan_drive, carry,
+                      on_chunk, on_step, reshard=None):
+    """Epoch driver for rng-free recipes (the CLIP/CLIPSeg finetuners —
+    deterministic preprocessing, no dropout/augmentation keys): whole
+    [scan_chunk, B] index chunks run inside `scan_drive` (one dispatched
+    program per K steps, built by scan_epoch(split_rng=False)); remainder
+    full batches and the ragged tail ride `on_step` (the ordinary per-step
+    program) so no second, differently-shaped scan program is ever staged
+    through the relay (2-8 min first execution each, PERF.md).
+
+    carry threads scan_drive -> on_step and back; `on_chunk(outs)` receives
+    each chunk's stacked non-carry outputs for host-side accumulation;
+    `on_step(carry, images, targets) -> carry` runs one ordinary step and
+    does its own accumulation.  reshard: under a mesh the replicated
+    cache's gathers are full local batches — reshard them to the per-step
+    batch sharding (a local slice, no collective) before on_step; the scan
+    program applies its own with_sharding_constraint (scan_epoch).
+
+    Batch order and remainder routing mirror train_model's inline scan path
+    (train/trainer.py) by construction: loader.epoch_index_batches consumes
+    the shuffle RNG exactly like one __iter__ pass, so a scan-driven epoch
+    is the per-step epoch re-chunked for the compiler."""
+    idx_full, idx_tail = loader.epoch_index_batches()
+    images_d, target_d = loader._cached()
+    n_scan = (len(idx_full) // scan_chunk) * scan_chunk
+    for s in range(0, n_scan, scan_chunk):
+        outs = scan_drive(carry, images_d, target_d,
+                          jnp.asarray(idx_full[s:s + scan_chunk]))
+        carry = outs[0]
+        on_chunk(outs[1:])
+    rest = list(idx_full[n_scan:])
+    if idx_tail is not None:
+        rest.append(idx_tail)
+    for row in rest:
+        idx_d = jax.device_put(row)
+        images = loader._gather(images_d, idx_d)
+        targets = loader._gather(target_d, idx_d)
+        if reshard is not None:
+            images = jax.device_put(images, reshard)
+            targets = jax.device_put(targets, reshard)
+        carry = on_step(carry, images, targets)
+    return carry
+
+
 def make_cls_eval_step(model, label_smoothing: float = 0.1):
     """(params, stats, images, labels, n_valid) -> (loss_sum, correct, preds).
 

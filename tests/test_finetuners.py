@@ -175,6 +175,104 @@ def test_clipseg_mesh_val_matches_single_device_exactly(tmp_path):
         _parse(logs_plain, "CLIPSeg", "ValLoss"), abs=2e-3)
 
 
+def _epoch_lines(logs, tag):
+    return [l for l in logs if f"[{tag}] Ep" in l]
+
+
+def _assert_same_epoch_lines(log_a, log_b, tag, fields, abs_tol=1e-4):
+    """The per-epoch loss lines are the wiring pin (see
+    tests/test_scan_epoch.py): any batch-order mismatch shifts the 3rd
+    decimal immediately; the finetune steps are rng-free, so scan-vs-loop
+    differences are pure float accumulation order (~1e-6)."""
+    import re
+
+    la, lb = _epoch_lines(log_a, tag), _epoch_lines(log_b, tag)
+    assert len(la) == len(lb) and la
+    for a, b in zip(la, lb):
+        for f in fields:
+            va = float(re.search(rf"{f} (-?[\d.]+)", a).group(1))
+            vb = float(re.search(rf"{f} (-?[\d.]+)", b).group(1))
+            assert va == pytest.approx(vb, abs=abs_tol), f"{a!r} vs {b!r}"
+
+
+def test_finetune_clip_scan_chunk_equivalent(tmp_path):
+    """finetune_clip(scan_chunk=3) == per-step finetune_clip: 4 full batches
+    + ragged tail -> one [3,B] scan chunk, one remainder batch on the
+    per-step program, the tail as an ordinary step (steps.scan_epoch_driver
+    routing)."""
+    model = CLIPClassifier(vision_cfg=TINY_VISION, projection_dim=16)
+    tf = np.random.default_rng(0).standard_normal((3, 16)).astype(np.float32)
+    tf /= np.linalg.norm(tf, axis=-1, keepdims=True)
+    variables = model.init(jax.random.key(0),
+                           jnp.zeros((1, 32, 32, 3)), jnp.asarray(tf))
+    ds = synthetic_cls(n=22, img_size=32)
+    cfg = CLIPFinetuneConfig(epochs=2, lr=1e-3, save_root=str(tmp_path))
+
+    def run(k):
+        tr = BatchLoader(ds, 4, shuffle=True, seed=5, device_cache=True,
+                         indices=np.arange(18))
+        va = BatchLoader(ds, 4, shuffle=False, indices=np.arange(18, 22))
+        logs = []
+        finetune_clip(tr, va, variables, tf, cfg, model=model, image_size=32,
+                      scan_chunk=k, save=False, log=logs.append)
+        return logs
+
+    _assert_same_epoch_lines(run(0), run(3), "CLIP",
+                             ("TrainLoss", "ValLoss", "ValAcc"))
+
+
+def test_finetune_clipseg_scan_chunk_equivalent(tmp_path):
+    model = CLIPSegModel(vision_cfg=TINY_VISION, text_cfg=TINY_TEXT,
+                         projection_dim=16, extract_layers=(0, 1),
+                         reduce_dim=16, decoder_heads=2,
+                         decoder_intermediate=32)
+    cond = np.random.default_rng(1).standard_normal((1, 16)).astype(np.float32)
+    variables = model.init(jax.random.key(0), jnp.zeros((1, 32, 32, 3)),
+                           cond=jnp.asarray(cond))
+    ds = synthetic_seg(n=14, img_size=32)
+    cfg = CLIPSegFinetuneConfig(epochs=2, lr=1e-3, save_root=str(tmp_path))
+
+    def run(k):
+        tr = BatchLoader(ds, 4, shuffle=True, seed=5, device_cache=True,
+                         indices=np.arange(10))
+        va = BatchLoader(ds, 4, shuffle=False, indices=np.arange(10, 14))
+        logs = []
+        finetune_clipseg(tr, va, variables, cond, cfg, model=model,
+                         image_size=32, scan_chunk=k, save=False,
+                         log=logs.append)
+        return logs
+
+    _assert_same_epoch_lines(run(0), run(2), "CLIPSeg",
+                             ("TrainLoss", "ValLoss", "ValDice"))
+
+
+def test_finetune_clip_scan_chunk_under_mesh(tmp_path):
+    """scan_chunk x data-parallel for the finetuner: replicated dataset
+    cache, per-step batch reshard inside the scanned program, XLA grad psum
+    — per-epoch lines must match the per-step mesh run's."""
+    mesh = data_parallel_mesh()
+    model = CLIPClassifier(vision_cfg=TINY_VISION, projection_dim=16)
+    tf = np.random.default_rng(0).standard_normal((3, 16)).astype(np.float32)
+    tf /= np.linalg.norm(tf, axis=-1, keepdims=True)
+    variables = model.init(jax.random.key(0),
+                           jnp.zeros((1, 32, 32, 3)), jnp.asarray(tf))
+    ds = synthetic_cls(n=32, img_size=32)
+    cfg = CLIPFinetuneConfig(epochs=2, lr=1e-3, save_root=str(tmp_path))
+
+    def run(k):
+        tr = BatchLoader(ds, 8, shuffle=True, seed=5, device_cache=True,
+                         indices=np.arange(24))
+        va = BatchLoader(ds, 8, shuffle=False, indices=np.arange(24, 32))
+        logs = []
+        finetune_clip(tr, va, variables, tf, cfg, mesh=mesh, model=model,
+                      image_size=32, scan_chunk=k, save=False,
+                      log=logs.append)
+        return logs
+
+    _assert_same_epoch_lines(run(0), run(2), "CLIP",
+                             ("TrainLoss", "ValLoss", "ValAcc"))
+
+
 def test_finetune_mesh_rejects_indivisible_batch(tmp_path):
     mesh = data_parallel_mesh()
     model = CLIPClassifier(vision_cfg=TINY_VISION, projection_dim=16)
