@@ -26,6 +26,34 @@ def _ckpt_dir(save_dir: str, name: str, seg: bool) -> Path:
     return (Path(save_dir) / f"{name}_{suffix}").absolute()
 
 
+def _abstract_like(leaf):
+    """np.empty twin of an array / ShapeDtypeStruct / orbax ArrayMetadata.
+
+    numpy targets restore host-side with no sharding lookup, which keeps
+    orbax's restore path warning-free (no 'UNSAFE without target' /
+    'populating sharding from file' paths) and device-agnostic — callers
+    jnp.asarray/device_put the tree onto their mesh themselves.
+    """
+    return np.empty(leaf.shape, leaf.dtype)
+
+
+def _restore(ckptr: ocp.StandardCheckpointer, path: Path, target=None):
+    """Restore with an explicit abstract target tree (never target-less).
+
+    target=None derives the target from the checkpoint's own metadata
+    (shapes/dtypes on disk) — safe for self-describing loads like eval's.
+    A provided target (any pytree of arrays/ShapeDtypeStructs) is enforced:
+    a topology mismatch raises orbax's structure-diff ValueError instead of
+    silently materializing a foreign tree.
+    """
+    if target is None:
+        meta = ckptr.metadata(path).item_metadata.tree
+        target = jax.tree.map(_abstract_like, meta)
+    else:
+        target = jax.tree.map(_abstract_like, target)
+    return ckptr.restore(path, target)
+
+
 def save_best(save_dir: str, name: str, seg: bool, params, batch_stats,
               meta: Optional[Dict] = None, aux: Optional[Dict] = None):
     """aux: small non-parameter arrays the model needs at inference time
@@ -45,12 +73,12 @@ def save_best(save_dir: str, name: str, seg: bool, params, batch_stats,
         (path / "meta.json").write_text(json.dumps(meta))
 
 
-def load_best(save_dir: str, name: str, seg: bool) -> Dict[str, Any]:
+def load_best(save_dir: str, name: str, seg: bool, target=None) -> Dict[str, Any]:
     path = _ckpt_dir(save_dir, name, seg)
     if not path.exists():
         raise FileNotFoundError(path)
     ckptr = ocp.StandardCheckpointer()
-    return ckptr.restore(path)
+    return _restore(ckptr, path, target)
 
 
 def best_exists(save_dir: str, name: str, seg: bool) -> bool:
@@ -73,11 +101,11 @@ def save_resume(save_dir: str, name: str, state, epoch: int, best_score: float,
     (path / "meta.json").write_text(json.dumps(meta))
 
 
-def load_resume(save_dir: str, name: str):
+def load_resume(save_dir: str, name: str, target=None):
     path = (Path(save_dir) / f"{name}_resume").absolute()
     if not path.exists():
         return None
     ckptr = ocp.StandardCheckpointer()
-    tree = ckptr.restore(path)
+    tree = _restore(ckptr, path, target)
     meta = json.loads((path / "meta.json").read_text())
     return tree, meta
