@@ -59,7 +59,7 @@ def finetune_clip(
     the same dispatch-amortizing driver train_model has; requires a
     device_cache loader.  The finetune step is rng-free (deterministic
     clip_preprocess, no dropout), so the scanned epoch is bit-for-bit the
-    per-step epoch re-chunked (tests/test_scan_epoch.py pins it)."""
+    per-step epoch re-chunked (tests/test_finetuners.py pins it)."""
     if model is None:
         model = get_model("CLIP")["factory"]()
     tf = jnp.asarray(text_features, jnp.float32)
@@ -115,8 +115,14 @@ def finetune_clip(
             p, o, loss, corr = _step(*carry, images_u8, labels)
             return (p, o), loss, corr
 
+        # donate_carry=False: donation would invalidate the CALLER's
+        # variables['params'] / fresh opt_state on the first chunk (they are
+        # the scan carry) — unlike the per-step path (plain jit, no
+        # donation).  The carry is small (CLIP params + opt state), so the
+        # copy is cheap and finetune_clip keeps train_model's contract of
+        # not consuming its inputs (r4 advisor).
         scan_drive = S.scan_epoch(
-            _scan_body, split_rng=False,
+            _scan_body, donate_carry=False, split_rng=False,
             data_sharding=train_loader.sharding if mesh is not None else None)
 
     @jax.jit

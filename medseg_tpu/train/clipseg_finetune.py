@@ -64,7 +64,7 @@ def finetune_clipseg(
     scan_chunk: run K decoder-train steps per dispatched program over the
     HBM dataset cache (steps.scan_epoch / scan_epoch_driver) — the step is
     rng-free, so the scanned epoch is the per-step epoch re-chunked
-    (tests/test_scan_epoch.py)."""
+    (tests/test_finetuners.py pins it)."""
     if model is None:
         model = get_model("CLIPSeg")["factory"]()
     cond = jnp.asarray(cond, jnp.float32)
@@ -145,8 +145,11 @@ def finetune_clipseg(
             p, o, loss = _step(*carry, images_u8, masks_u8)
             return (p, o), loss
 
+        # donate_carry=False: the carry is the caller's variables['params']
+        # + opt_state; donation would consume them on TPU (r4 advisor, see
+        # clip_finetune.py for the full note)
         scan_drive = S.scan_epoch(
-            _scan_body, split_rng=False,
+            _scan_body, donate_carry=False, split_rng=False,
             data_sharding=train_loader.sharding if mesh is not None else None)
 
     @jax.jit

@@ -227,13 +227,15 @@ def scan_epoch(body, donate_carry: bool = True, split_rng: bool = True,
 
 def scan_epoch_driver(loader, scan_chunk: int, scan_drive, carry,
                       on_chunk, on_step, reshard=None):
-    """Epoch driver for rng-free recipes (the CLIP/CLIPSeg finetuners —
-    deterministic preprocessing, no dropout/augmentation keys): whole
-    [scan_chunk, B] index chunks run inside `scan_drive` (one dispatched
-    program per K steps, built by scan_epoch(split_rng=False)); remainder
-    full batches and the ragged tail ride `on_step` (the ordinary per-step
-    program) so no second, differently-shaped scan program is ever staged
-    through the relay (2-8 min first execution each, PERF.md).
+    """Shared scan-epoch routing — the ONE owner of the chunk/remainder/tail
+    invariant: whole [scan_chunk, B] index chunks run inside `scan_drive`
+    (one dispatched program per K steps); remainder full batches and the
+    ragged tail ride `on_step` (the ordinary per-step program) so no second,
+    differently-shaped scan program is ever staged through the relay
+    (2-8 min first execution each, PERF.md).  The finetuners use it with
+    rng-free scan_epoch(split_rng=False) drives; train_model threads its
+    running rng through the carry with a small wrapper around the
+    split_rng=True drive (train/trainer.py).
 
     carry threads scan_drive -> on_step and back; `on_chunk(outs)` receives
     each chunk's stacked non-carry outputs for host-side accumulation;

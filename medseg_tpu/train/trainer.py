@@ -200,6 +200,14 @@ def train_model(
         restored = ckpt.load_resume(save_dir, name)
         if restored is not None:
             restored_tree, meta = restored
+            want = jax.tree_util.tree_structure(variables["params"])
+            got = jax.tree_util.tree_structure(restored_tree["params"])
+            if want != got:
+                raise ValueError(
+                    f"resume checkpoint {name}_resume does not match model "
+                    f"{name!r}: parameter trees differ (checkpoint from a "
+                    f"different model/topology?). Delete the checkpoint or "
+                    f"run without --resume.")
             start_epoch = int(meta["epoch"]) + 1
             resume_extras = meta
 
@@ -340,39 +348,35 @@ def train_model(
             # scan-epoch path: K steps per dispatched program over the HBM
             # dataset cache; batch order and RNG stream are EXACTLY the
             # per-step loop's (loader.epoch_index_batches consumes the same
-            # shuffle, the key splits are the same sequence).
-            idx_full, idx_tail = train_loader.epoch_index_batches()
-            images_d, target_d = train_loader._cached()
+            # shuffle, the key splits are the same sequence).  Chunk /
+            # remainder / ragged-tail routing lives in steps.scan_epoch_driver
+            # (one owner of the invariant, shared with the finetuners; the
+            # rng rides the driver's carry since this recipe splits keys).
             bs = train_loader.batch_size
-            # only whole [scan_chunk, B] chunks ride the scan program: a
-            # final short chunk would stage a SECOND, differently-shaped
-            # scan program through the relay (2-8 min first execution);
-            # the <scan_chunk remainder steps ride the per-step program
-            # below instead (same RNG split sequence, equality-tested)
-            n_scan = (len(idx_full) // scan_chunk) * scan_chunk
-            for s in range(0, n_scan, scan_chunk):
-                chunk = jnp.asarray(idx_full[s:s + scan_chunk])
-                outs = scan_drive(state, images_d, target_d, chunk, rng)
-                state, rng, losses_k = outs[0], outs[1], outs[2]
+
+            def scan_with_rng(carry, images_all, targets_all, idx):
+                st, r = carry
+                outs = scan_drive(st, images_all, targets_all, idx, r)
+                return ((outs[0], outs[1]),) + tuple(outs[2:])
+
+            def on_chunk(outs):
+                nonlocal loss_acc, corr_acc, n_seen
+                losses_k = outs[0]
                 if not seg:
-                    corr_acc = corr_acc + outs[3].sum()
+                    corr_acc = corr_acc + outs[1].sum()
                 loss_acc = loss_acc + losses_k.sum() * bs
-                n_seen += chunk.shape[0] * bs
-            for row in idx_full[n_scan:]:
-                idx_d = jax.device_put(row)
-                images = train_loader._gather(images_d, idx_d)
-                targets = train_loader._gather(target_d, idx_d)
-                if mesh is not None:
-                    # the cache (and so the gather) is replicated over the
-                    # mesh; reshard to the per-step path's batch sharding (a
-                    # local slice) so the same SPMD step program serves both
-                    images = jax.device_put(images, train_loader.sharding)
-                    targets = jax.device_put(targets, train_loader.sharding)
+                n_seen += losses_k.shape[0] * bs
+
+            def on_step(carry, images, targets):
+                nonlocal state, rng
+                state, rng = carry
                 dispatch_one_step(images, targets)
-            if idx_tail is not None:
-                idx_d = jax.device_put(idx_tail)
-                dispatch_one_step(train_loader._gather(images_d, idx_d),
-                                  train_loader._gather(target_d, idx_d))
+                return state, rng
+
+            state, rng = S.scan_epoch_driver(
+                train_loader, scan_chunk, scan_with_rng, (state, rng),
+                on_chunk, on_step,
+                reshard=train_loader.sharding if mesh is not None else None)
         else:
             for images, targets in train_loader:
                 dispatch_one_step(images, targets)
