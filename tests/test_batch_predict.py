@@ -5,6 +5,10 @@ import csv
 import numpy as np
 import pytest
 
+# heavy e2e/learning/interop module — excluded from the fast dev tier
+# (pytest -m 'not slow'); the full unmarked run stays the bar (r5)
+pytestmark = pytest.mark.slow
+
 import jax
 
 from medseg_tpu.core.config import EvalConfig

@@ -4,6 +4,11 @@ multi-chip dry run executes a full sharded train step on the test mesh."""
 import numpy as np
 
 import jax
+import pytest
+
+# heavy e2e/learning/interop module — excluded from the fast dev tier
+# (pytest -m 'not slow'); the full unmarked run stays the bar (r5)
+pytestmark = pytest.mark.slow
 
 
 def test_entry_compiles_and_runs():

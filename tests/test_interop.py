@@ -7,6 +7,10 @@ without retraining (SURVEY.md §7 'Weight interop').
 import numpy as np
 import pytest
 
+# heavy e2e/learning/interop module — excluded from the fast dev tier
+# (pytest -m 'not slow'); the full unmarked run stays the bar (r5)
+pytestmark = pytest.mark.slow
+
 torch = pytest.importorskip("torch")
 import jax  # noqa: E402
 import jax.numpy as jnp  # noqa: E402

@@ -8,6 +8,10 @@ class-separable by construction.
 import numpy as np
 import pytest
 
+# heavy e2e/learning/interop module — excluded from the fast dev tier
+# (pytest -m 'not slow'); the full unmarked run stays the bar (r5)
+pytestmark = pytest.mark.slow
+
 from medseg_tpu.core.config import AugmentConfig, TrainConfig
 from medseg_tpu.data import BatchLoader, synthetic_cls, synthetic_seg
 from medseg_tpu.train import train_model

@@ -10,6 +10,10 @@ import json
 import numpy as np
 import pytest
 
+# heavy e2e/learning/interop module — excluded from the fast dev tier
+# (pytest -m 'not slow'); the full unmarked run stays the bar (r5)
+pytestmark = pytest.mark.slow
+
 torch = pytest.importorskip("torch")
 import jax  # noqa: E402
 import jax.numpy as jnp  # noqa: E402

@@ -4,6 +4,10 @@ semantics must be preserved when batches shard across devices."""
 import numpy as np
 import pytest
 
+# heavy e2e/learning/interop module — excluded from the fast dev tier
+# (pytest -m 'not slow'); the full unmarked run stays the bar (r5)
+pytestmark = pytest.mark.slow
+
 import jax
 
 from medseg_tpu.core.registry import get_model
