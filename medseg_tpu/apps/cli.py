@@ -56,7 +56,8 @@ def _cmd_pack(args):
 
 
 def _loaders(cache_dir: str, task: str, batch_size: int, val_fraction: float,
-             seed: int = 0, device_cache: bool = False):
+             seed: int = 0, device_cache: bool = False,
+             val_device_cache: bool | None = None):
     from medseg_tpu.data.loader import BatchLoader, split_train_val
     from medseg_tpu.data.packed import load_packed
 
@@ -64,8 +65,13 @@ def _loaders(cache_dir: str, task: str, batch_size: int, val_fraction: float,
     tr_idx, va_idx = split_train_val(len(ds), val_fraction, seed)
     train = BatchLoader(ds, batch_size, shuffle=True, seed=seed, indices=tr_idx,
                         device_cache=device_cache)
+    # each cached loader device_puts the FULL packed split independently, so
+    # callers that only need the train cache (the scan drivers) pass
+    # val_device_cache=False to avoid holding a second whole-split copy in
+    # HBM (r4 advisor)
     val = BatchLoader(ds, batch_size, shuffle=False, indices=va_idx,
-                      device_cache=device_cache)
+                      device_cache=(device_cache if val_device_cache is None
+                                    else val_device_cache))
     return train, val
 
 
@@ -217,28 +223,89 @@ def _cmd_parity(args):
         raise SystemExit(1)
 
 
+def _random_init_clip():
+    """Real-scale CLIPClassifier at random init + random normalized prompt
+    features — the offline stand-in for the HF pretrained tower (zero-egress
+    environments: workflow certification, serving smoke).  Metrics from a
+    run seeded this way are meaningless; the recipe, shapes, and checkpoint
+    format are exactly the pretrained path's."""
+    import jax
+    import jax.numpy as jnp
+
+    from medseg_tpu.core.config import CLIP_IMG_SIZE
+    from medseg_tpu.core.registry import get_model
+
+    print("[WARNING] --random-init: finetuning a RANDOMLY initialized CLIP "
+          "(no HF weights; metrics will be meaningless — smoke/cert only)")
+    model = get_model("CLIP")["factory"]()
+    tf = np.random.default_rng(0).standard_normal((3, 512)).astype(np.float32)
+    tf /= np.linalg.norm(tf, axis=-1, keepdims=True)
+    variables = model.init(
+        jax.random.key(0),
+        jnp.zeros((1, CLIP_IMG_SIZE, CLIP_IMG_SIZE, 3), jnp.float32),
+        jnp.asarray(tf))
+    return variables, tf
+
+
+def _random_init_clipseg():
+    """Real-scale CLIPSegModel at random init + random conditional embedding
+    (see _random_init_clip)."""
+    import jax
+    import jax.numpy as jnp
+
+    from medseg_tpu.core.config import CLIPSEG_IMG_SIZE
+    from medseg_tpu.core.registry import get_model
+
+    print("[WARNING] --random-init: finetuning a RANDOMLY initialized "
+          "CLIPSeg (no HF weights; metrics will be meaningless — "
+          "smoke/cert only)")
+    model = get_model("CLIPSeg")["factory"]()
+    cond = np.random.default_rng(0).standard_normal((1, 512)).astype(np.float32)
+    variables = model.init(
+        jax.random.key(0),
+        jnp.zeros((1, CLIPSEG_IMG_SIZE, CLIPSEG_IMG_SIZE, 3), jnp.float32),
+        cond=jnp.asarray(cond))
+    return variables, cond
+
+
 def _cmd_finetune_clip(args):
     from medseg_tpu.core.config import CLIPFinetuneConfig
-    from medseg_tpu.interop.hf_pretrained import load_clip_classifier_pretrained
     from medseg_tpu.train.clip_finetune import finetune_clip
 
-    cfg = CLIPFinetuneConfig(save_root=args.weights_root)
-    variables, text_features = load_clip_classifier_pretrained()
+    cfg = CLIPFinetuneConfig(save_root=args.weights_root,
+                             epochs=args.epochs,
+                             **({"batch_size": args.batch_size}
+                                if args.batch_size else {}))
+    if args.random_init:
+        variables, text_features = _random_init_clip()
+    else:
+        from medseg_tpu.interop.hf_pretrained import load_clip_classifier_pretrained
+
+        variables, text_features = load_clip_classifier_pretrained()
     train, val = _loaders(args.cache_dir, "cls", cfg.batch_size, 0.1111,
-                          device_cache=args.scan_chunk > 1)
+                          device_cache=args.scan_chunk > 1,
+                          val_device_cache=False)
     finetune_clip(train, val, variables, text_features, cfg,
                   mesh=_mesh_if(args), scan_chunk=args.scan_chunk)
 
 
 def _cmd_finetune_clipseg(args):
     from medseg_tpu.core.config import CLIPSegFinetuneConfig
-    from medseg_tpu.interop.hf_pretrained import load_clipseg_pretrained
     from medseg_tpu.train.clipseg_finetune import finetune_clipseg
 
-    cfg = CLIPSegFinetuneConfig(save_root=args.weights_root)
-    variables, cond = load_clipseg_pretrained()
+    cfg = CLIPSegFinetuneConfig(save_root=args.weights_root,
+                                epochs=args.epochs,
+                                **({"batch_size": args.batch_size}
+                                   if args.batch_size else {}))
+    if args.random_init:
+        variables, cond = _random_init_clipseg()
+    else:
+        from medseg_tpu.interop.hf_pretrained import load_clipseg_pretrained
+
+        variables, cond = load_clipseg_pretrained()
     train, val = _loaders(args.cache_dir, "seg", cfg.batch_size, 0.1111,
-                          device_cache=args.scan_chunk > 1)
+                          device_cache=args.scan_chunk > 1,
+                          val_device_cache=False)
     finetune_clipseg(train, val, variables, cond, cfg, mesh=_mesh_if(args),
                      scan_chunk=args.scan_chunk)
 
@@ -383,20 +450,21 @@ def main(argv=None):
                     help="directory with the reference's published results CSVs")
     sp.add_argument("--tolerance", type=float, default=0.5,
                     help="max |delta| in percentage points")
-    sp = add("finetune-clip", _cmd_finetune_clip)
-    sp.add_argument("--data-parallel", action="store_true",
-                    help="shard batches over all devices (Mesh('data'))")
-    sp.add_argument("--scan-chunk", type=int, default=0,
-                    help="run K finetune steps per dispatched program "
-                         "(lax.scan over the HBM dataset cache; the step is "
-                         "rng-free so the scanned epoch is exact)")
-    sp = add("finetune-clipseg", _cmd_finetune_clipseg)
-    sp.add_argument("--data-parallel", action="store_true",
-                    help="shard batches over all devices (Mesh('data'))")
-    sp.add_argument("--scan-chunk", type=int, default=0,
-                    help="run K finetune steps per dispatched program "
-                         "(lax.scan over the HBM dataset cache; the step is "
-                         "rng-free so the scanned epoch is exact)")
+    for ft_name, ft_fn in (("finetune-clip", _cmd_finetune_clip),
+                           ("finetune-clipseg", _cmd_finetune_clipseg)):
+        sp = add(ft_name, ft_fn)
+        sp.add_argument("--data-parallel", action="store_true",
+                        help="shard batches over all devices (Mesh('data'))")
+        sp.add_argument("--scan-chunk", type=int, default=0,
+                        help="run K finetune steps per dispatched program "
+                             "(lax.scan over the HBM dataset cache; the step "
+                             "is rng-free so the scanned epoch is exact)")
+        sp.add_argument("--epochs", type=int, default=20)
+        sp.add_argument("--batch-size", type=int, default=None)
+        sp.add_argument("--random-init", action="store_true",
+                        help="skip the HF pretrained load and finetune a "
+                             "randomly initialized real-scale tower (offline "
+                             "smoke/certification; metrics are meaningless)")
     sp = add("demo", _cmd_demo)
     sp.add_argument("--share", action="store_true")
     sp.add_argument("--builtin", action="store_true",
