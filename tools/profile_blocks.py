@@ -322,6 +322,106 @@ def main():
             print(f"  [{label}] {best / steps_ * 1e3:.1f} ms/step = "
                   f"{bt * steps_ / best:.1f} img/s", flush=True)
 
+    if "r2attu" in exps:
+        # Per-block MFU decomposition of R2AttU-Net's step (VERDICT r4 weak
+        # #3: the model-level 52%-of-peak number existed since r2, but no
+        # block breakdown — is it gates, recurrences, or resolution tiers
+        # that hold it under R2U's 55%?).  FLOPs are XLA-counted per program
+        # (compiled.cost_analysis), MFU vs the v5e's ~197 TFLOP/s bf16 peak.
+        from medseg_tpu.nn.blocks import RRCNNBlock
+
+        PEAK = 197e12
+
+        def _mfu_pair(label, module, variables, inputs):
+            @jax.jit
+            def fwd(params, stats, *xs):
+                out, _ = module.apply({"params": params, "batch_stats": stats},
+                                      *xs, train=True, mutable=["batch_stats"])
+                return out.astype(jnp.float32).mean()
+
+            @jax.jit
+            def fb(params, stats, *xs):
+                def loss(p):
+                    out, _ = module.apply(
+                        {"params": p, "batch_stats": stats},
+                        *xs, train=True, mutable=["batch_stats"])
+                    return (out.astype(jnp.float32) ** 2).mean()
+                l, g = jax.value_and_grad(loss)(params)
+                return l + sum(jnp.sum(x).astype(jnp.float32)
+                               for x in jax.tree_util.tree_leaves(g))
+
+            args = (variables["params"], variables["batch_stats"]) + tuple(inputs)
+            out = []
+            for tag, fn in (("fwd", fwd), ("f+b", fb)):
+                compiled = fn.lower(*args).compile()
+                ca = compiled.cost_analysis()
+                if isinstance(ca, (list, tuple)):
+                    ca = ca[0]
+                flops = float(ca.get("flops", float("nan")))
+                t0 = time.perf_counter()
+                float(jnp.asarray(compiled(*args)).astype(jnp.float32).sum())
+                print(f"  [{label} {tag}] first exec "
+                      f"{time.perf_counter() - t0:.1f}s", flush=True)
+
+                def wall(k=8):
+                    t0 = time.perf_counter()
+                    outs = [compiled(*args) for _ in range(k)]
+                    float(jnp.stack([jnp.asarray(o).astype(jnp.float32).sum()
+                                     for o in outs]).sum())
+                    return time.perf_counter() - t0
+
+                wall()
+                ms = min(wall() for _ in range(3)) / 8 * 1e3
+                mfu = flops / (ms / 1e3) / PEAK * 100.0
+                print(f"  [{label} {tag}] {ms:.2f} ms  "
+                      f"{flops / 1e9:.1f} GFLOP  {mfu:.1f}% peak", flush=True)
+                out.append((ms, mfu))
+            results[f"r2attu_{label}"] = (out[0][0], out[1][0])
+            return out
+
+        rb = int(os.environ.get("R2ATTU_B", "16"))
+        t_rec = 5
+        print(f"== R2AttU-Net t=5 per-block profile (B={rb}, bf16) ==",
+              flush=True)
+        blocks = [
+            ("rrcnn1", RRCNNBlock(64, t=t_rec, dtype=dt), (rb, 256, 256, 3)),
+            ("rrcnn2", RRCNNBlock(128, t=t_rec, dtype=dt), (rb, 128, 128, 64)),
+            ("rrcnn3", RRCNNBlock(256, t=t_rec, dtype=dt), (rb, 64, 64, 128)),
+            ("rrcnn4", RRCNNBlock(512, t=t_rec, dtype=dt), (rb, 32, 32, 256)),
+            ("rrcnn5", RRCNNBlock(1024, t=t_rec, dtype=dt), (rb, 16, 16, 512)),
+            ("up_rrcnn5", RRCNNBlock(512, t=t_rec, dtype=dt), (rb, 32, 32, 1024)),
+            ("up_rrcnn4", RRCNNBlock(256, t=t_rec, dtype=dt), (rb, 64, 64, 512)),
+            ("up_rrcnn3", RRCNNBlock(128, t=t_rec, dtype=dt), (rb, 128, 128, 256)),
+            ("up_rrcnn2", RRCNNBlock(64, t=t_rec, dtype=dt), (rb, 256, 256, 128)),
+            ("up5", UpConv(512, dtype=dt), (rb, 16, 16, 1024)),
+            ("up4", UpConv(256, dtype=dt), (rb, 32, 32, 512)),
+            ("up3", UpConv(128, dtype=dt), (rb, 64, 64, 256)),
+            ("up2", UpConv(64, dtype=dt), (rb, 128, 128, 128)),
+        ]
+        for label, mod, shape in blocks:
+            x = rand(*shape)
+            v = mod.init(jax.random.key(0), x)
+            if "batch_stats" not in v:
+                v = {"params": v["params"], "batch_stats": {}}
+            _mfu_pair(label, mod, v, (x,))
+        # the four attention gates (d, gated-skip pairs per decoder stage)
+        gates = [("att5", 256, (rb, 32, 32, 512)),
+                 ("att4", 128, (rb, 64, 64, 256)),
+                 ("att3", 64, (rb, 128, 128, 128)),
+                 ("att2", 32, (rb, 256, 256, 64))]
+        for label, f_int, shape in gates:
+            gx, xx = rand(*shape), rand(*shape)
+            mod = AttentionGate(f_int, dtype=dt, fused_stats=False)
+            v = mod.init(jax.random.key(0), gx, xx)
+            _mfu_pair(label, mod, v, (gx, xx))
+        # whole-model check: the sum of blocks should land near this
+        from medseg_tpu.core.registry import get_model
+
+        whole = get_model("R2AttUnet")["factory"](dtype=dt)
+        xw = rand(rb, 256, 256, 3)
+        vw = whole.init({"params": jax.random.key(0)}, xw)
+        _mfu_pair("WHOLE", whole, vw, (xw,))
+
     if "resnetunet" in exps:
         # eval-mode fwd profile of the seg-e2e headline model's decoder tail
         # (encoder is 73% MXU-bound per the r2 zoo profile; the question is
