@@ -76,11 +76,20 @@ def _loaders(cache_dir: str, task: str, batch_size: int, val_fraction: float,
 
 
 def _mesh_if(args):
-    """`--data-parallel` -> a 1-D mesh over all devices, else None."""
+    """`--data-parallel` -> a 1-D mesh over all devices, else None.
+
+    With MEDSEG_COORDINATOR set (see parallel/dist.py), the process joins
+    the multi-host job first and the mesh spans every process's devices —
+    the same pjit programs then scale over DCN with no other change."""
     if not getattr(args, "data_parallel", False):
         return None
-    from medseg_tpu.parallel import data_parallel_mesh
+    from medseg_tpu.parallel import data_parallel_mesh, initialize_from_env
 
+    if initialize_from_env():
+        import jax
+
+        print(f"[INFO] multi-host: process {jax.process_index()}/"
+              f"{jax.process_count()}")
     mesh = data_parallel_mesh()
     print(f"[INFO] data-parallel over {mesh.size} devices")
     return mesh
@@ -401,6 +410,12 @@ def main(argv=None):
     from medseg_tpu.core.jax_cache import enable_persistent_cache
 
     enable_persistent_cache()
+    # multi-host (DCN) jobs must join the coordinator BEFORE anything
+    # touches the backend (probe, device query, computation); no-op unless
+    # MEDSEG_COORDINATOR is set — see parallel/dist.py
+    from medseg_tpu.parallel.dist import initialize_from_env
+
+    initialize_from_env()
 
     p = argparse.ArgumentParser(prog="medseg")
     sub = p.add_subparsers(dest="cmd", required=True)
