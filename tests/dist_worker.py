@@ -12,6 +12,10 @@ single-process step on the assembled global batch bit-for-bit.
 import os
 import sys
 
+# run as a plain script (`python tests/dist_worker.py`): sys.path[0] is
+# tests/, not the repo root — put the root first so medseg_tpu imports
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import jax
 
 jax.config.update("jax_platforms", "cpu")
