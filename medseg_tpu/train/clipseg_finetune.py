@@ -136,6 +136,46 @@ def finetune_clipseg(
 
     train_step = jax.jit(_step)
 
+    # Ragged-tail batches must NOT compile a second fwd+bwd program at the
+    # tail's shape: this toolchain's tpu_compile_helper SIGILLs on the
+    # 352px ViT backward at several batch shapes (r5 sweep: B>=16; r5 cert:
+    # the B=5 tail) while B=8 is proven.  Tails therefore pad to the full
+    # batch (repeat last row) and ride a masked-loss twin of the step at the
+    # SAME proven shape; pad rows contribute literal-zero loss/grad terms,
+    # so the result is exactly the unpadded step's
+    # (tests/test_finetuners.py pins it).  Full batches keep the unmasked
+    # program (byte-identical HLO to the persistent-cache entry).
+    def _step_masked(params, opt_state, images_u8, masks_u8, n_valid):
+        def loss_fn(p):
+            x, m = prep(images_u8, masks_u8)
+            c = jnp.broadcast_to(cond, (x.shape[0], cond.shape[-1]))
+            logits = model.apply({"params": p}, x, cond=c)
+            valid = valid_mask(x.shape[0], n_valid)
+            return masked_combined_loss(logits, m, valid,
+                                        cfg.bce_weight, cfg.dice_weight)
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state2 = optimizer.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state2, loss
+
+    bs_full = train_loader.batch_size
+    tail_step = [None]  # jitted lazily: most epochs never see a tail
+
+    def _pad_rows(*arrays, reps):
+        return tuple(jnp.concatenate([a] + [a[-1:]] * reps) for a in arrays)
+
+    def dispatch_train(params, opt_state, images, masks):
+        """(params, opt_state, loss, n_real) for full OR ragged batches."""
+        b = int(images.shape[0])
+        if b == bs_full or mesh is not None:  # mesh: drop_last, no tails
+            p, o, loss = train_step(params, opt_state, images, masks)
+            return p, o, loss, b
+        images, masks = _pad_rows(images, masks, reps=bs_full - b)
+        if tail_step[0] is None:
+            tail_step[0] = jax.jit(_step_masked)
+        p, o, loss = tail_step[0](params, opt_state, images, masks, b)
+        return p, o, loss, b
+
     use_scan = scan_chunk > 1 and train_loader.device_cache
     if scan_chunk > 1 and not use_scan:
         log(f"[scan_chunk] disabled: requires device_cache "
@@ -183,9 +223,9 @@ def finetune_clipseg(
 
             def on_step(carry, images, masks):
                 nonlocal loss_acc, total
-                p, o, loss = train_step(*carry, images, masks)
-                loss_acc = loss_acc + loss * images.shape[0]
-                total += images.shape[0]
+                p, o, loss, n_real = dispatch_train(*carry, images, masks)
+                loss_acc = loss_acc + loss * n_real
+                total += n_real
                 return p, o
 
             params, opt_state = S.scan_epoch_driver(
@@ -194,10 +234,10 @@ def finetune_clipseg(
                 reshard=train_loader.sharding if mesh is not None else None)
         else:
             for images, masks in train_loader:
-                params, opt_state, loss = train_step(params, opt_state,
-                                                     images, masks)
-                loss_acc = loss_acc + loss * images.shape[0]
-                total += images.shape[0]
+                params, opt_state, loss, n_real = dispatch_train(
+                    params, opt_state, images, masks)
+                loss_acc = loss_acc + loss * n_real
+                total += n_real
         run_loss = float(loss_acc)
 
         vloss_acc = jnp.zeros((), jnp.float32)
@@ -205,6 +245,12 @@ def finetune_clipseg(
         val_total = 0
         for (images, masks), n_real in zip(val_loader,
                                            val_loader.real_counts()):
+            # ragged val tails pad to the val loader's full batch too (one
+            # program; eval_step's n_valid mask makes pad rows exact no-ops)
+            if mesh is None and images.shape[0] < val_loader.batch_size:
+                images, masks = _pad_rows(
+                    images, masks,
+                    reps=val_loader.batch_size - int(images.shape[0]))
             loss_sum, dice = eval_step(params, images, masks, n_real)
             vloss_acc = vloss_acc + loss_sum
             dice_stack.append(dice)

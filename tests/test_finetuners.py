@@ -310,3 +310,54 @@ def test_mesh_finetune_leaves_caller_loaders_untouched(tmp_path):
                   image_size=32, save=False, log=lambda *_: None)
     assert tr.sharding is None and tr.drop_last is False
     assert va.sharding is None and va.pad_to_multiple is None
+
+
+def test_masked_padded_tail_equals_ragged_step():
+    """The clipseg tail-step contract: padding a ragged batch to the full
+    batch (repeat last row) and masking the loss gives EXACTLY the ragged
+    batch's loss and parameter gradients — so ragged tails can ride the one
+    proven-compilable program shape (the r5-cert toolchain SIGILL on the
+    B=5 tail's backward; see train/clipseg_finetune.py)."""
+    from medseg_tpu.ops.clip_prep import clip_preprocess
+    from medseg_tpu.train.losses import (combined_loss, masked_combined_loss,
+                                         valid_mask)
+
+    model = CLIPSegModel(vision_cfg=TINY_VISION, text_cfg=TINY_TEXT,
+                         projection_dim=16, extract_layers=(0, 1),
+                         reduce_dim=16, decoder_heads=2,
+                         decoder_intermediate=32)
+    cond = jnp.asarray(np.random.default_rng(1).standard_normal(
+        (1, 16)).astype(np.float32))
+    variables = model.init(jax.random.key(0), jnp.zeros((1, 32, 32, 3)),
+                           cond=cond)
+    rng = np.random.default_rng(2)
+    img = rng.integers(0, 256, (3, 32, 32, 3), dtype=np.uint8)
+    msk = (rng.random((3, 32, 32)) > 0.5).astype(np.uint8) * 255
+
+    def fwd(p, images_u8, masks_u8):
+        x = clip_preprocess(jnp.asarray(images_u8), 32)
+        m = jnp.asarray(masks_u8).astype(jnp.float32) / 255.0
+        c = jnp.broadcast_to(cond, (x.shape[0], cond.shape[-1]))
+        logits = model.apply({"params": p}, x, cond=c)
+        return logits, jax.image.resize(m[..., None],
+                                        (m.shape[0],) + logits.shape[1:] + (1,),
+                                        method="bilinear")[..., 0]
+
+    def loss_ragged(p):
+        logits, m = fwd(p, img, msk)
+        return combined_loss(logits, m)
+
+    img_pad = np.concatenate([img, img[-1:]])
+    msk_pad = np.concatenate([msk, msk[-1:]])
+
+    def loss_masked(p):
+        logits, m = fwd(p, img_pad, msk_pad)
+        return masked_combined_loss(logits, m, valid_mask(4, 3))
+
+    l1, g1 = jax.jit(jax.value_and_grad(loss_ragged))(variables["params"])
+    l2, g2 = jax.jit(jax.value_and_grad(loss_masked))(variables["params"])
+    np.testing.assert_allclose(float(l1), float(l2), rtol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(g1),
+                    jax.tree_util.tree_leaves(g2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-7)
