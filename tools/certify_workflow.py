@@ -62,6 +62,23 @@ def run_cmd(argv, log_path: Path):
     return rc, dt, tail
 
 
+def acquire_workdir_lock(work: Path):
+    """Refuse to run two sweeps over one workdir.  Two concurrent runs race
+    each other's orbax OCDBT checkpoint directories (observed: NOT_FOUND
+    lock-rename failures mid-save) and share the chip — an accidental
+    double nohup launch produced exactly that in r5.  flock is held for
+    the process lifetime and released by the OS on any exit."""
+    import fcntl
+    lock_path = work / ".cert.lock"
+    fd = os.open(lock_path, os.O_CREAT | os.O_RDWR)
+    try:
+        fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
+    except OSError:
+        sys.exit(f"[cert] ABORT: another certify_workflow run holds "
+                 f"{lock_path} — refusing to race one workdir")
+    return fd  # keep open; closing would drop the lock
+
+
 def main():
     work = os.environ.get("CERT_DIR") or tempfile.mkdtemp(prefix="cert_")
     epochs = os.environ.get("CERT_EPOCHS", "6")
@@ -72,6 +89,7 @@ def main():
     results = str(work / "results")
     logs = work / "logs"
     logs.mkdir(parents=True, exist_ok=True)
+    _lock_fd = acquire_workdir_lock(work)  # noqa: F841 — held for process life
 
     img = int(os.environ.get("CERT_IMG", "256"))
     print(f"[cert] workdir {work}", flush=True)
